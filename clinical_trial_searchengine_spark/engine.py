@@ -1,0 +1,38 @@
+"""SearchEngine facade — the `SearchEngine.search(query, k)` API surface
+(SURVEY.md §1.4: replaces the reference's FastAPI + pydantic layer,
+reference: backend/api/main.py:75-194).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clinical_trial_searchengine_spark.plans.build import build_index
+from clinical_trial_searchengine_spark.plans.query import search, search_all
+from clinical_trial_searchengine_spark.plans.segments import read_meta
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+
+    def build(self, corpus: DataFrame, **kwargs) -> dict:
+        return build_index(self.spark, corpus, self.index_dir, **kwargs)
+
+    @property
+    def meta(self) -> dict:
+        return read_meta(self.index_dir)
+
+    def search(self, query_text: str, k: int = 10, **kwargs) -> DataFrame:
+        return search(self.spark, self.index_dir, query_text, k, **kwargs)
+
+    def search_all(self, query_text: str) -> DataFrame:
+        return search_all(self.spark, self.index_dir, query_text)
+
+    def search_topk_rows(self, query_text: str, k: int = 10, **kwargs):
+        """Driver-side list[(doc_id, score)] — convenience for tests/bench."""
+        return [
+            (r["doc_id"], r["score"])
+            for r in self.search(query_text, k, **kwargs).collect()
+        ]

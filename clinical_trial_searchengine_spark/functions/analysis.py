@@ -1,0 +1,315 @@
+"""Analyzer chain: tokenize -> stopword filter -> Porter stem.
+
+Two modes (SURVEY.md §1.2, §2.7-X1):
+
+- ``standard``: Unicode-ish word split + lowercase ONLY.  This reproduces the
+  reference's sole analyzer ``english_text`` whose type is ``standard`` — no
+  stopwords, no stemming despite the name
+  (reference: backend/search/mapping.json:9-13).
+- ``porter``: standard + English stopword removal + Porter stemming — the
+  north-rule chain.
+
+The kernels here are pure Python/pandas functions; the Spark entry points are
+vectorized pandas UDFs built by :func:`make_analyze_udf` (Arrow-batched, no
+row-at-a-time Python UDF registration).  The same kernels are imported by
+``tests/oracle.py`` so engine-vs-oracle rank identity is about the distributed
+plumbing, never about analyzer drift.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Token = maximal run of lowercase alnum.  Matches the DuckDB oracle regex
+# `regexp_extract_all(lower(text), '[a-z0-9]+')` exactly (corpus is ASCII).
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+# Classic Lucene/English stop set (public Lucene EnglishAnalyzer default).
+STOPWORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+# ---------------------------------------------------------------------------
+# Porter stemmer — faithful implementation of M.F. Porter, "An algorithm for
+# suffix stripping", Program 14(3) 1980 (public algorithm).  Original (not
+# "Porter2") variant; validated against published test vectors in
+# tests/test_analysis.py.
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences in [C](VC)^m[V]."""
+    m = 0
+    i, n = 0, len(stem)
+    while i < n and _is_cons(stem, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    """*o condition: stem ends cvc where the final c is not w, x or y."""
+    if len(word) < 3:
+        return False
+    return (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        fired = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            fired = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            fired = True
+        if fired:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # Step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # Step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and (not stem or stem[-1] not in "st"):
+                    break
+                w = stem
+            break
+
+    # Step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+
+    # Step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokenize_text(text: str | None, mode: str = "standard") -> list[str]:
+    """Analyze one string. ``mode`` in {'standard', 'porter'}."""
+    if not text:
+        return []
+    toks = _TOKEN_RE.findall(text.lower())
+    if mode == "standard":
+        return toks
+    if mode == "porter":
+        cache: dict[str, str] = {}
+        out = []
+        for t in toks:
+            if t in STOPWORDS:
+                continue
+            s = cache.get(t)
+            if s is None:
+                s = porter_stem(t)
+                cache[t] = s
+            out.append(s)
+        return out
+    raise ValueError(f"unknown analyzer mode: {mode}")
+
+
+def term_counts(tokens: list[str]) -> list[tuple[str, int]]:
+    """(term, tf) pairs sorted by term — the fixed summation order that makes
+    engine and oracle BM25 sums bit-identical (SURVEY.md §7 hard part (a))."""
+    return sorted(Counter(tokens).items())
+
+
+def analyze_batch(
+    texts: pd.Series, mode: str = "standard"
+) -> tuple[list[list[tuple[str, int]]], list[int]]:
+    """Batch kernel shared by the pandas UDF and the oracle.
+
+    Returns (per-row sorted (term, tf) pairs, per-row doc_len).  doc_len is
+    the POST-filter token count (what BM25's length norm sees).
+    """
+    lowered = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+    stem_cache: dict[str, str] = {}
+    pairs_out: list[list[tuple[str, int]]] = []
+    lens_out: list[int] = []
+    porter = mode == "porter"
+    if not porter and mode != "standard":
+        raise ValueError(f"unknown analyzer mode: {mode}")
+    for toks in lowered:
+        if porter:
+            kept = []
+            for t in toks:
+                if t in STOPWORDS:
+                    continue
+                s = stem_cache.get(t)
+                if s is None:
+                    s = porter_stem(t)
+                    stem_cache[t] = s
+                kept.append(s)
+            toks = kept
+        lens_out.append(len(toks))
+        pairs_out.append(sorted(Counter(toks).items()))
+    return pairs_out, lens_out
+
+
+_ANALYZE_SCHEMA = StructType(
+    [
+        StructField(
+            "terms",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("term", StringType()),
+                        StructField("tf", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("doc_len", IntegerType()),
+    ]
+)
+
+
+def make_analyze_udf(mode: str = "standard"):
+    """Vectorized analyzer: content -> struct<terms:array<struct<term,tf>>, doc_len>.
+
+    Counting tf INSIDE the UDF (A8, SURVEY.md §2.4) avoids exploding raw token
+    streams through a shuffle — at 10^12 docs the exploded token relation is
+    ~10^14 rows; the per-doc (term, tf) relation is ~50x smaller.
+    """
+
+    @F.pandas_udf(_ANALYZE_SCHEMA)
+    def _analyze(texts: pd.Series) -> pd.DataFrame:
+        pairs, lens = analyze_batch(texts, mode)
+        return pd.DataFrame(
+            {
+                "terms": [
+                    [{"term": t, "tf": c} for t, c in row] for row in pairs
+                ],
+                "doc_len": lens,
+            }
+        )
+
+    return _analyze
+
+
+def make_tokens_udf(mode: str = "standard"):
+    """content -> array<string> of analyzed tokens (order-preserving)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        return pd.Series([tokenize_text(t, mode) for t in texts])
+
+    return _tok

@@ -1,0 +1,210 @@
+"""Posting-list codec: delta-encoded docID gaps + tf, varint-compressed,
+with per-block skip metadata (first_doc_id, max_tf, payload_bytes) for
+block-max WAND (north rule; SURVEY.md §2.8-B6, §4.2).
+
+Everything is NumPy-vectorized — encode and decode never loop per posting in
+Python (a few loops bounded by max varint width of 10, or per-block for the
+small directory, remain).
+
+Wire layout — a single varint stream:
+
+    [version=1, n_postings, n_blocks,
+     (first_doc_delta, max_tf, payload_nbytes) * n_blocks,   <- directory
+     per block: gaps[block_size], tfs[block_size]]           <- payloads
+
+* ``first_doc_delta``: block's first absolute doc_id, delta-encoded across
+  blocks (block 0 stores the absolute id).
+* ``gaps``: within-block doc gaps; ``gaps[0] == 0`` by convention (relative to
+  the directory's first_doc_id), so ``doc_ids = first + cumsum(gaps)``.
+* ``payload_nbytes`` lets WAND skip a block's bytes without decoding it.
+
+The reference delegates this layer to Lucene segments (OpenSearch single
+shard, reference: backend/search/mapping.json:3-7); this module is the
+from-scratch replacement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# Vectorized varint (LEB128, 7-bit groups, high bit = continuation)
+# ---------------------------------------------------------------------------
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    if vals.size == 0:
+        return b""
+    nb = _varint_nbytes(vals)
+    ends = np.cumsum(nb)
+    total = int(ends[-1])
+    starts = ends - nb
+    owner = np.repeat(np.arange(vals.size), nb)
+    j = (np.arange(total) - starts[owner]).astype(np.uint64)
+    shifted = vals[owner] >> (np.uint64(7) * j)
+    out = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    out[j < (nb[owner] - 1).astype(np.uint64)] |= 0x80
+    return out.tobytes()
+
+
+def _varint_nbytes(vals: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count (vectorized; <=10 passes)."""
+    nb = np.ones(vals.size, dtype=np.int64)
+    v = vals >> np.uint64(7)
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    return nb
+
+
+def varint_decode(buf: bytes | memoryview) -> np.ndarray:
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (a & 0x80) == 0
+    vid = np.zeros(a.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=vid[1:])
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    pos = np.arange(a.size) - starts[vid]
+    payload = (a & np.uint8(0x7F)).astype(np.uint64)
+    vals = np.zeros(int(is_last.sum()), dtype=np.uint64)
+    for k in range(int(pos.max()) + 1):
+        sel = pos == k
+        vals[vid[sel]] |= payload[sel] << np.uint64(7 * k)
+    return vals
+
+
+def varint_decode_prefix(buf: bytes, count: int, offset: int = 0):
+    """Decode the first ``count`` varints starting at byte ``offset``.
+
+    Returns (values: list[int], next_offset).  Pure Python — used only for
+    the small header/directory region during selective (WAND) decode.
+    """
+    vals = []
+    i = offset
+    for _ in range(count):
+        shift = 0
+        acc = 0
+        while True:
+            b = buf[i]
+            i += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        vals.append(acc)
+    return vals, i
+
+
+# ---------------------------------------------------------------------------
+# Posting-list encode / decode
+# ---------------------------------------------------------------------------
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = BLOCK_SIZE
+) -> tuple[bytes, int]:
+    """Encode sorted unique doc_ids + tfs. Returns (bytes, n_blocks)."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = doc_ids.size
+    if n == 0:
+        return varint_encode(np.array([_VERSION, 0, 0], dtype=np.uint64)), 0
+    n_blocks = (n + block_size - 1) // block_size
+
+    block_starts = np.arange(n_blocks) * block_size
+    firsts = doc_ids[block_starts]
+    first_deltas = firsts.copy()
+    first_deltas[1:] = firsts[1:] - firsts[:-1]
+
+    # within-block gaps; gap at each block start := 0
+    gaps = np.zeros(n, dtype=np.uint64)
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[block_starts] = 0
+
+    # interleave per-block payloads: gaps then tfs
+    payload_parts = []
+    payload_nbytes = np.empty(n_blocks, dtype=np.int64)
+    max_tfs = np.empty(n_blocks, dtype=np.uint64)
+    for b in range(n_blocks):
+        lo = b * block_size
+        hi = min(lo + block_size, n)
+        vals = np.concatenate((gaps[lo:hi], tfs[lo:hi]))
+        enc = varint_encode(vals)
+        payload_parts.append(enc)
+        payload_nbytes[b] = len(enc)
+        max_tfs[b] = tfs[lo:hi].max()
+
+    directory = np.empty(3 * n_blocks, dtype=np.uint64)
+    directory[0::3] = first_deltas
+    directory[1::3] = max_tfs
+    directory[2::3] = payload_nbytes.astype(np.uint64)
+
+    header = np.concatenate(
+        (np.array([_VERSION, n, n_blocks], dtype=np.uint64), directory)
+    )
+    return varint_encode(header) + b"".join(payload_parts), int(n_blocks)
+
+
+def decode_postings(buf: bytes, block_size: int = BLOCK_SIZE):
+    """Full decode. Returns (doc_ids uint64[n], tfs int64[n])."""
+    vals = varint_decode(buf)
+    version, n, n_blocks = int(vals[0]), int(vals[1]), int(vals[2])
+    assert version == _VERSION, f"bad postings version {version}"
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    dir_vals = vals[3 : 3 + 3 * n_blocks]
+    firsts = np.cumsum(dir_vals[0::3])
+    payload = vals[3 + 3 * n_blocks :]
+
+    doc_ids = np.empty(n, dtype=np.uint64)
+    tfs = np.empty(n, dtype=np.int64)
+    off = 0
+    for b in range(n_blocks):
+        lo = b * block_size
+        bs = min(block_size, n - lo)
+        gaps = payload[off : off + bs]
+        doc_ids[lo : lo + bs] = firsts[b] + np.cumsum(gaps)
+        tfs[lo : lo + bs] = payload[off + bs : off + 2 * bs].astype(np.int64)
+        off += 2 * bs
+    return doc_ids, tfs
+
+
+def decode_directory(buf: bytes):
+    """Decode only header + block directory (for block-max WAND skipping).
+
+    Returns (n, firsts uint64[b], max_tfs int64[b], payload_nbytes int64[b],
+    payload_offsets int64[b] — absolute byte offsets of each block payload).
+    """
+    (version, n, n_blocks), off = varint_decode_prefix(buf, 3)
+    assert version == _VERSION
+    dir_vals, off = varint_decode_prefix(buf, 3 * n_blocks, off)
+    dv = np.asarray(dir_vals, dtype=np.uint64).reshape(-1, 3) if n_blocks else np.empty((0, 3), dtype=np.uint64)
+    firsts = np.cumsum(dv[:, 0])
+    max_tfs = dv[:, 1].astype(np.int64)
+    nbytes = dv[:, 2].astype(np.int64)
+    offsets = off + np.concatenate(([0], np.cumsum(nbytes[:-1]))) if n_blocks else np.empty(0, dtype=np.int64)
+    return n, firsts, max_tfs, nbytes, offsets.astype(np.int64)
+
+
+def decode_block(
+    buf: bytes,
+    block_idx: int,
+    n: int,
+    firsts: np.ndarray,
+    nbytes: np.ndarray,
+    offsets: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """Decode a single block selected via :func:`decode_directory`."""
+    lo = block_idx * block_size
+    bs = min(block_size, n - lo)
+    o = int(offsets[block_idx])
+    vals = varint_decode(memoryview(buf)[o : o + int(nbytes[block_idx])])
+    doc_ids = firsts[block_idx] + np.cumsum(vals[:bs])
+    return doc_ids, vals[bs : 2 * bs].astype(np.int64)

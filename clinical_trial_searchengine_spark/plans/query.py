@@ -1,0 +1,347 @@
+"""Query-time BM25 top-k over the doc-sharded segment layout.
+
+Lifecycle (SURVEY.md §3.1 steps 4-9, Spark-first):
+
+  analyze query text with the SAME kernel as indexing (driver-side, tiny)
+  -> broadcast query terms + exact global stats (N, avgdl, per-term df)
+  -> parquet scan of postings pruned to the query terms (predicate pushdown;
+     files are sorted by term so row-group min/max skips almost everything)
+  -> cogroup(postings, norms) by shard -> per-shard scoring kernel:
+     decode -> BM25 (k1=1.2, b=0.75) -> bounded top-k heap per shard
+     (exhaustive-vectorized kernel by default; block-max WAND kernel
+     available via use_wand=True — equivalence property-tested)
+  -> global top-k merge: orderBy(score desc, doc_id asc).limit(k)
+     (Catalyst TakeOrderedAndProject = per-partition heap + driver merge).
+
+Score reproducibility: per-doc contributions are accumulated in term-sorted
+order in float64, matching tests/oracle.py bit-for-bit (SURVEY.md §7(a)).
+Tie-break is explicit: (score desc, doc_id asc) — T6, required because
+Lucene breaks ties by internal doc order.
+
+BM25 formula (reference defaults — no similarity override in
+reference: backend/search/mapping.json):
+    idf  = ln(1 + (N - df + 0.5)/(df + 0.5))
+    s    = qtf * idf * tf / (tf + k1*(1 - b + b*dl/avgdl))
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_trial_searchengine_spark.functions.analysis import tokenize_text
+from clinical_trial_searchengine_spark.functions.codec import (
+    decode_block,
+    decode_directory,
+    decode_postings,
+)
+from clinical_trial_searchengine_spark.plans import segments as seg
+
+_RESULT_SCHEMA = "doc_id long, score double"
+
+
+def _idf(N: int, df: int) -> float:
+    return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+
+def _norms_dl(norms_pdf: pd.DataFrame) -> np.ndarray:
+    norms_pdf = norms_pdf.sort_values("chunk")
+    return np.concatenate(
+        [np.frombuffer(b, dtype="<i4") for b in norms_pdf["doc_lens"]]
+    ).astype(np.float64)
+
+
+def _topk_from_scores(acc, base, k):
+    nz = np.flatnonzero(acc)
+    if nz.size == 0:
+        return pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+    scores = acc[nz]
+    if nz.size > k:
+        sel = np.argpartition(-scores, k - 1)[:k]
+        # re-sort the k selected by (score desc, doc_id asc)
+        order = np.lexsort((nz[sel], -scores[sel]))
+        sel = sel[order]
+    else:
+        sel = np.lexsort((nz, -scores))
+    return pd.DataFrame(
+        {"doc_id": (base + nz[sel]).astype("int64"), "score": scores[sel]}
+    )
+
+
+def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k):
+    """Vectorized per-shard kernel: decode-all, accumulate, bounded top-k.
+
+    O(total postings) numpy work; no per-posting Python.  This is the default
+    because vectorized exhaustive scoring beats pointer-chasing WAND in
+    Python for all but extremely selective queries.
+    """
+    terms_sorted = sorted(qtf)
+
+    def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
+        if p_pdf.empty or n_pdf.empty:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+        shard = int(key[0])
+        base = shard * shard_size
+        dl = _norms_dl(n_pdf)
+        acc = np.zeros(dl.size, dtype=np.float64)
+        by_term = {r.term: r for r in p_pdf.itertuples()}
+        for term in terms_sorted:  # fixed summation order == oracle
+            row = by_term.get(term)
+            if row is None:
+                continue
+            ids, tfs = decode_postings(bytes(row.postings))
+            off = (ids - np.uint64(base)).astype(np.int64)
+            Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
+            acc[off] += (qtf[term] * _idf(N, row.df)) * (
+                tfs.astype(np.float64) / (tfs + Kd)
+            )
+        return _topk_from_scores(acc, base, k)
+
+    return kernel
+
+
+def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k):
+    """Block-max WAND per-shard kernel (north rule; SURVEY.md §2.8-B6).
+
+    Term upper bound uses dl->0, which is STRICTLY above any achievable
+    contribution for b<1 and dl>=1, so pruning at sum_ub <= theta can never
+    drop a doc that ties theta — tie-break exactness is preserved.
+    Blocks are skipped via the directory (first_doc_id per block) without
+    decoding; per-block max_tf refines the bound.
+    """
+    terms_sorted = sorted(qtf)
+
+    class TermState:
+        __slots__ = (
+            "term", "w", "buf", "n", "firsts", "max_tfs", "nbytes",
+            "offsets", "bidx", "ids", "tfs", "ptr", "ub",
+        )
+
+        def __init__(self, term, w, buf):
+            self.term, self.w, self.buf = term, w, buf
+            self.n, self.firsts, self.max_tfs, self.nbytes, self.offsets = (
+                decode_directory(buf)
+            )
+            self.bidx = -1
+            self.ids = self.tfs = None
+            self.ptr = 0
+            self.ub = w / (1.0 + k1 * (1.0 - b))  # tf=1 lower bound refined below
+
+        def _load_block(self, bi):
+            self.bidx = bi
+            self.ids, self.tfs = decode_block(
+                self.buf, bi, self.n, self.firsts, self.nbytes, self.offsets
+            )
+            self.ptr = 0
+
+        def cur_doc(self):
+            if self.bidx == -2:
+                return None
+            if self.bidx == -1:
+                self._load_block(0)
+            return int(self.ids[self.ptr])
+
+        def cur_tf(self):
+            return int(self.tfs[self.ptr])
+
+        def advance(self):
+            self.ptr += 1
+            if self.ptr >= len(self.ids):
+                if self.bidx + 1 < len(self.firsts):
+                    self._load_block(self.bidx + 1)
+                else:
+                    self.bidx = -2
+
+        def seek(self, target):
+            """Advance to first doc >= target, skipping blocks via directory."""
+            if self.bidx == -2:
+                return
+            if self.bidx == -1:
+                self._load_block(0)
+            if int(self.ids[-1]) < target:
+                bi = int(np.searchsorted(self.firsts, target, side="right")) - 1
+                bi = max(bi, self.bidx + 1)
+                if bi >= len(self.firsts):
+                    self.bidx = -2
+                    return
+                self._load_block(bi)
+                while int(self.ids[-1]) < target:
+                    if self.bidx + 1 >= len(self.firsts):
+                        self.bidx = -2
+                        return
+                    self._load_block(self.bidx + 1)
+            self.ptr = int(np.searchsorted(self.ids, target))
+            if self.ptr >= len(self.ids):
+                self.advance()
+
+    def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        if p_pdf.empty or n_pdf.empty:
+            return empty
+        shard = int(key[0])
+        base = shard * shard_size
+        dl = _norms_dl(n_pdf)
+
+        states = []
+        by_term = {r.term: r for r in p_pdf.itertuples()}
+        for term in terms_sorted:
+            row = by_term.get(term)
+            if row is None:
+                continue
+            w = qtf[term] * _idf(N, row.df)
+            st = TermState(term, w, bytes(row.postings))
+            if st.n:
+                # strict UB: dl -> 0 (never achieved; dl >= 1 for matches)
+                mt = float(max(st.max_tfs.max(), 1))
+                st.ub = w * mt / (mt + k1 * (1.0 - b))
+                states.append(st)
+        if not states:
+            return empty
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        theta = -math.inf
+
+        def score_doc(doc):
+            s = 0.0
+            for st in sorted(
+                (t for t in states if t.cur_doc() == doc), key=lambda t: t.term
+            ):
+                tf = float(st.cur_tf())
+                Kd = k1 * (1.0 - b + b * dl[doc - base] / avgdl)
+                s += st.w * (tf / (tf + Kd))
+                st.advance()
+            return s
+
+        while True:
+            live = [st for st in states if st.cur_doc() is not None]
+            if not live:
+                break
+            live.sort(key=lambda st: st.cur_doc())
+            ub_sum, pivot_i = 0.0, -1
+            for i, st in enumerate(live):
+                ub_sum += st.ub
+                if len(heap) < k or ub_sum > theta:
+                    pivot_i = i
+                    break
+            if pivot_i < 0:
+                break
+            pivot_doc = live[pivot_i].cur_doc()
+            if live[0].cur_doc() == pivot_doc:
+                s = score_doc(pivot_doc)
+                entry = (s, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                    theta = heap[0][0]
+            else:
+                for st in live[:pivot_i]:
+                    st.seek(pivot_doc)
+
+        if not heap:
+            return empty
+        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        return pd.DataFrame(
+            {
+                "doc_id": [-d for _, d in out],
+                "score": [s for s, _ in out],
+            }
+        ).astype({"doc_id": "int64", "score": "float64"})
+
+    return kernel
+
+
+def analyze_query(query_text: str, mode: str) -> Counter:
+    """Query analysis with the indexing chain; repeated terms -> qtf weight."""
+    return Counter(tokenize_text(query_text, mode))
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    k: int = 10,
+    use_wand: bool = False,
+    include_meta: bool = False,
+    filter_doc_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25. Returns DataFrame (doc_id, score [, repo/path/...])."""
+    meta = seg.read_meta(index_dir)
+    qtf = analyze_query(query_text, meta["mode"])
+    if not qtf:
+        empty = spark.createDataFrame([], _RESULT_SCHEMA)
+        return empty
+
+    N = meta["num_docs"]
+    avgdl = meta["avg_doc_len"] or 1.0
+    shard_size = meta["shard_size"]
+    make = _make_wand_kernel if use_wand else _make_exhaustive_kernel
+    kernel = make(dict(qtf), N, avgdl, meta["k1"], meta["b"], shard_size, k)
+
+    postings = spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS)).where(
+        F.col("term").isin(list(qtf))
+    )
+    norms = spark.read.parquet(seg.path_of(index_dir, seg.NORMS))
+    hit_shards = postings.select("shard").distinct()
+    norms = norms.join(F.broadcast(hit_shards), "shard", "left_semi")
+
+    scored = (
+        postings.groupby("shard")
+        .cogroup(norms.groupby("shard"))
+        .applyInPandas(kernel, _RESULT_SCHEMA)
+    )
+    if filter_doc_ids is not None:
+        # exact filter context (B4): membership only, never affects scores —
+        # but must be applied BEFORE the limit to keep top-k exact.
+        scored = search_all(spark, index_dir, query_text).join(
+            filter_doc_ids.select("doc_id"), "doc_id", "left_semi"
+        )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if include_meta:
+        dm = spark.read.parquet(seg.path_of(index_dir, seg.DOC_META))
+        topk = (
+            dm.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "repo", "path", "commit", "lang")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return topk
+
+
+def search_all(
+    spark: SparkSession, index_dir: str, query_text: str
+) -> DataFrame:
+    """Score ALL matching docs (no limit) — used for exact filtered search
+    and for oracle comparisons. Same kernels with k = num_docs."""
+    meta = seg.read_meta(index_dir)
+    qtf = analyze_query(query_text, meta["mode"])
+    if not qtf:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    kernel = _make_exhaustive_kernel(
+        dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
+        meta["k1"], meta["b"], meta["shard_size"], meta["shard_size"],
+    )
+    postings = spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS)).where(
+        F.col("term").isin(list(qtf))
+    )
+    norms = spark.read.parquet(seg.path_of(index_dir, seg.NORMS))
+    hit_shards = postings.select("shard").distinct()
+    norms = norms.join(F.broadcast(hit_shards), "shard", "left_semi")
+    return (
+        postings.groupby("shard")
+        .cogroup(norms.groupby("shard"))
+        .applyInPandas(kernel, _RESULT_SCHEMA)
+    )

@@ -1,0 +1,131 @@
+"""Global segment layout on disk + build manifest (lineage/resume).
+
+Layout under ``index_dir`` (Parquet here; on a cluster each dataset maps 1:1
+to an Iceberg table — the write calls are isolated in this module so swapping
+``.parquet`` for ``.writeTo(...)`` is a one-file change):
+
+    meta.json        analyzer mode, shard_size, bm25 params, counts
+    doc_meta/        doc_id, repo, path, commit, lang, doc_len, content_sha256
+    stats/           single row: num_docs, avg_doc_len, total_terms
+    term_stats/      term, df, cf  (GLOBAL stats — broadcast at query time;
+                     SURVEY.md §2.8-B5: stats must be exact global values)
+    postings/        shard=K/ ... term, df, cf, n_blocks, postings:binary
+                     (doc-sharded: shard = doc_id // shard_size; within each
+                     file sorted by term so parquet min/max prunes by term)
+    norms/           shard, chunk, first_doc_id, n, doc_lens:binary(int32 LE)
+    manifest/        stage, partition_id, status, rows_in, terms_out, sha_ok,
+                     attempt, started_at, finished_at
+    metrics/         stage, partition_id, metric, value
+
+The doc-sharded layout (index partitioned by document range, each shard
+holding its own posting lists) is what makes query-time scoring a
+per-partition bounded-heap kernel + global top-k merge (north rule), instead
+of a doc_id shuffle: a query touches <= n_terms rows per shard.  The
+reference gets this for free from its single OpenSearch shard
+(reference: backend/search/mapping.json:3-7); we need it explicitly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_META = "doc_meta"
+STATS = "stats"
+TERM_STATS = "term_stats"
+POSTINGS = "postings"
+NORMS = "norms"
+MANIFEST = "manifest"
+METRICS = "metrics"
+
+
+def path_of(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, name)
+
+
+def write_meta(index_dir: str, meta: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+
+
+def read_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Manifest: append-only parquet; latest row per (stage, partition_id) wins.
+# Mirrors the reference's `ingestion_state` checkpoint row + restartable-batch
+# pattern (reference: backend/db/schema.sql:93-99,
+# backend/db/migrate_parsed_criteria.py:53-64).
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SCHEMA = (
+    "stage string, partition_id int, status string, rows_in long, "
+    "terms_out long, sha_ok boolean, attempt int, started_at double, "
+    "finished_at double"
+)
+
+
+def manifest_append(
+    spark: SparkSession,
+    index_dir: str,
+    stage: str,
+    partition_id: int,
+    status: str,
+    rows_in: int = -1,
+    terms_out: int = -1,
+    sha_ok: bool = True,
+    attempt: int = 1,
+    started_at: float | None = None,
+) -> None:
+    now = time.time()
+    row = [
+        (
+            stage, partition_id, status, rows_in, terms_out, sha_ok,
+            attempt, float(started_at or now), now,
+        )
+    ]
+    spark.createDataFrame(row, _MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path_of(index_dir, MANIFEST))
+
+
+def manifest_read(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    p = path_of(index_dir, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def manifest_done(spark: SparkSession, index_dir: str) -> set[tuple[str, int]]:
+    """(stage, partition_id) pairs whose LATEST manifest row is 'done'."""
+    m = manifest_read(spark, index_dir)
+    if m is None:
+        return set()
+    latest = (
+        m.groupBy("stage", "partition_id")
+        .agg(F.max(F.struct("finished_at", "status")).alias("last"))
+        .select("stage", "partition_id", F.col("last.status").alias("status"))
+    )
+    return {
+        (r["stage"], r["partition_id"])
+        for r in latest.where(F.col("status") == "done").collect()
+    }
+
+
+def metrics_append(
+    spark: SparkSession, index_dir: str, rows: list[tuple[str, int, str, float]]
+) -> None:
+    if not rows:
+        return
+    spark.createDataFrame(
+        rows, "stage string, partition_id int, metric string, value double"
+    ).coalesce(1).write.mode("append").parquet(path_of(index_dir, METRICS))

@@ -1,0 +1,185 @@
+"""Build invariants: sha256 check, deterministic doc_id assignment,
+salting equivalence, segment schemas, resume (FIXTURES.md §4-6)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_trial_searchengine_spark.engine import SearchEngine
+from clinical_trial_searchengine_spark.plans import segments as seg
+from clinical_trial_searchengine_spark.plans.build import assign_doc_ids
+
+
+def test_sha256_invariant_rejects_corruption(spark, small_corpus_pdf, tmp_path):
+    bad = small_corpus_pdf.copy()
+    bad.loc[3, "content"] = bad.loc[3, "content"] + " tampered"
+    df = spark.createDataFrame(bad)
+    eng = SearchEngine(spark, str(tmp_path / "badidx"))
+    with pytest.raises(ValueError, match="sha256 invariant"):
+        eng.build(df, shard_size=64)
+    # failure is recorded in lineage
+    m = seg.manifest_read(spark, eng.index_dir)
+    rows = m.where(
+        (F.col("stage") == "verify_sha") & (F.col("status") == "failed")
+    ).collect()
+    assert rows and rows[0]["rows_in"] == 1 and rows[0]["sha_ok"] is False
+
+
+def test_doc_id_assignment_deterministic(spark, small_corpus_df):
+    a = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in assign_doc_ids(small_corpus_df, 4).select(
+            "repo", "path", "commit", "doc_id"
+        ).collect()
+    }
+    # different partition count -> identical ids (global rank is
+    # boundary-independent; SURVEY.md §7 hard part (b))
+    b = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in assign_doc_ids(small_corpus_df.repartition(7), 2).select(
+            "repo", "path", "commit", "doc_id"
+        ).collect()
+    }
+    assert a == b
+    ids = sorted(a.values())
+    assert ids == list(range(len(ids)))  # dense 0..N-1
+    keys_by_id = sorted(a, key=a.get)
+    assert keys_by_id == sorted(keys_by_id)  # rank order == key order
+
+
+def test_salting_equivalence(spark, small_corpus_df, tmp_path):
+    """Salted build == unsalted build: identical postings bytes per
+    (shard, term) (FIXTURES.md §6)."""
+    d1, d2 = str(tmp_path / "salted"), str(tmp_path / "unsalted")
+    SearchEngine(spark, d1).build(
+        small_corpus_df, shard_size=64, hot_df_threshold=10, max_salts=8
+    )
+    SearchEngine(spark, d2).build(
+        small_corpus_df, shard_size=64, hot_df_threshold=10**9
+    )
+    cols = ["shard", "term", "df", "cf", "n_blocks", "postings"]
+    p1 = {
+        (r["shard"], r["term"]): (r["df"], r["cf"], r["n_blocks"], bytes(r["postings"]))
+        for r in spark.read.parquet(seg.path_of(d1, seg.POSTINGS)).select(cols).collect()
+    }
+    p2 = {
+        (r["shard"], r["term"]): (r["df"], r["cf"], r["n_blocks"], bytes(r["postings"]))
+        for r in spark.read.parquet(seg.path_of(d2, seg.POSTINGS)).select(cols).collect()
+    }
+    assert p1 == p2
+    # salting actually happened
+    metrics = spark.read.parquet(seg.path_of(d1, seg.METRICS))
+    hot = metrics.where(F.col("metric") == "hot_terms").collect()[0]["value"]
+    assert hot > 0
+    shutil.rmtree(d1)
+    shutil.rmtree(d2)
+
+
+def test_segment_schemas(built_index, spark):
+    """FIXTURES.md §5 schema assertions."""
+    d = built_index.index_dir
+    postings = spark.read.parquet(seg.path_of(d, seg.POSTINGS))
+    for c in ["term", "df", "cf", "n_blocks", "postings", "shard"]:
+        assert c in postings.columns, c
+    dm = spark.read.parquet(seg.path_of(d, seg.DOC_META))
+    assert {"doc_id", "repo", "path", "commit", "lang", "doc_len",
+            "content_sha256"} <= set(dm.columns)
+    stats = spark.read.parquet(seg.path_of(d, seg.STATS)).collect()
+    assert len(stats) == 1
+    s = stats[0]
+    assert s["num_docs"] == 200 and s["total_terms"] > 0
+    ts = spark.read.parquet(seg.path_of(d, seg.TERM_STATS))
+    assert {"term", "df", "cf"} <= set(ts.columns)
+    # global df consistency: postings df == term_stats df for every term
+    joined = (
+        postings.select("term", "df").distinct()
+        .join(ts.withColumnRenamed("df", "df2"), "term")
+        .where(F.col("df") != F.col("df2"))
+    )
+    assert joined.count() == 0
+
+
+def test_global_df_spans_shards(built_index, spark):
+    """df on every shard's row is the GLOBAL df (B5), i.e. >= shard-local
+    posting count and == sum over shards."""
+    from clinical_trial_searchengine_spark.functions.codec import decode_postings
+
+    postings = spark.read.parquet(
+        seg.path_of(built_index.index_dir, seg.POSTINGS)
+    )
+    rows = postings.where(F.col("term") == "def").collect()
+    assert len(rows) > 1  # hot term present in several shards
+    local_total = 0
+    for r in rows:
+        ids, tfs = decode_postings(bytes(r["postings"]))
+        local_total += len(ids)
+        assert r["df"] >= len(ids)
+    assert all(r["df"] == local_total for r in rows)
+
+
+def test_resume_skips_done_and_is_byte_identical(
+    spark, small_corpus_df, tmp_path
+):
+    """Kill/resume (FIXTURES.md §4): build once; delete one postings group +
+    its manifest 'done' rows; rebuild; segments byte-identical to an
+    uninterrupted build."""
+    d1 = str(tmp_path / "full")
+    d2 = str(tmp_path / "resumed")
+    kwargs = dict(shard_size=48, hot_df_threshold=40, n_resume_groups=3)
+    SearchEngine(spark, d1).build(small_corpus_df, **kwargs)
+    SearchEngine(spark, d2).build(small_corpus_df, **kwargs)
+
+    # simulate a crash: group 1 postings never finished in d2
+    shutil.rmtree(seg.path_of(d2, seg.POSTINGS) + "/group=1")
+    # rewrite manifest without the ('postings', 1) done row
+    m = spark.read.parquet(seg.path_of(d2, seg.MANIFEST))
+    kept = m.where(
+        ~((F.col("stage") == "postings") & (F.col("partition_id") == 1))
+    ).collect()
+    shutil.rmtree(seg.path_of(d2, seg.MANIFEST))
+    spark.createDataFrame(kept, m.schema).coalesce(1).write.parquet(
+        seg.path_of(d2, seg.MANIFEST)
+    )
+    done_before = seg.manifest_done(spark, d2)
+    assert ("postings", 1) not in done_before
+    assert ("postings", 0) in done_before
+    ts_before = {
+        (r["stage"], r["partition_id"]): r["finished_at"]
+        for r in spark.read.parquet(seg.path_of(d2, seg.MANIFEST)).collect()
+    }
+
+    SearchEngine(spark, d2).build(small_corpus_df, **kwargs)  # resume
+
+    def snapshot(d):
+        return {
+            (r["shard"], r["term"]): (r["df"], r["cf"], bytes(r["postings"]))
+            for r in spark.read.parquet(seg.path_of(d, seg.POSTINGS)).collect()
+        }
+
+    assert snapshot(d1) == snapshot(d2)
+    # resumed build re-ran ONLY group 1: done stages keep their original
+    # finished_at (they were skipped), group 1 got a fresh row
+    ts_after = {
+        (r["stage"], r["partition_id"]): r["finished_at"]
+        for r in spark.read.parquet(seg.path_of(d2, seg.MANIFEST)).collect()
+    }
+    for key, t in ts_before.items():
+        assert ts_after[key] == t, f"{key} was re-run on resume"
+    assert ts_after[("postings", 1)] > max(ts_before.values())
+
+
+def test_norms_cover_all_docs(built_index, spark):
+    import numpy as np
+
+    norms = spark.read.parquet(
+        seg.path_of(built_index.index_dir, seg.NORMS)
+    ).collect()
+    total = sum(r["n"] for r in norms)
+    assert total == 200
+    for r in norms:
+        arr = np.frombuffer(r["doc_lens"], dtype="<i4")
+        assert len(arr) == r["n"]
+        assert (arr >= 0).all()

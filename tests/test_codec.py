@@ -1,0 +1,85 @@
+"""Varint/delta posting codec round-trip + block directory tests
+(FIXTURES.md §6), including hypothesis property tests."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clinical_trial_searchengine_spark.functions.codec import (
+    BLOCK_SIZE,
+    decode_block,
+    decode_directory,
+    decode_postings,
+    encode_postings,
+    varint_decode,
+    varint_decode_prefix,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_edges():
+    vals = np.array(
+        [0, 1, 127, 128, 129, 2**14 - 1, 2**14, 2**28, 2**28 + 1, 2**40, 2**63],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_varint_prefix():
+    vals = np.array([300, 5, 2**30], dtype=np.uint64)
+    buf = varint_encode(vals) + b"\x07"
+    out, off = varint_decode_prefix(buf, 3)
+    assert out == [300, 5, 2**30]
+    assert buf[off] == 7
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 10**6), st.integers(1, 1000)),
+        min_size=0,
+        max_size=700,
+    )
+)
+def test_postings_roundtrip_property(gaps_tfs):
+    if gaps_tfs:
+        gaps = np.array([g for g, _ in gaps_tfs], dtype=np.uint64)
+        ids = np.cumsum(gaps)
+        tfs = np.array([t for _, t in gaps_tfs], dtype=np.uint64)
+    else:
+        ids = np.empty(0, dtype=np.uint64)
+        tfs = np.empty(0, dtype=np.uint64)
+    buf, n_blocks = encode_postings(ids, tfs)
+    d, t = decode_postings(buf)
+    assert np.array_equal(d, ids)
+    assert np.array_equal(t, tfs.astype(np.int64))
+    assert n_blocks == (len(ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
+
+
+def test_block_directory_and_selective_decode():
+    rng = np.random.default_rng(7)
+    n = 1000
+    ids = np.cumsum(rng.integers(1, 50, n).astype(np.uint64))
+    tfs = rng.integers(1, 30, n).astype(np.uint64)
+    buf, n_blocks = encode_postings(ids, tfs)
+    N, firsts, max_tfs, nbytes, offsets = decode_directory(buf)
+    assert N == n and len(firsts) == n_blocks
+    for b in range(n_blocks):
+        lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n)
+        assert firsts[b] == ids[lo]
+        assert max_tfs[b] == tfs[lo:hi].max()
+        db, tb = decode_block(buf, b, N, firsts, nbytes, offsets)
+        assert np.array_equal(db, ids[lo:hi])
+        assert np.array_equal(tb, tfs[lo:hi].astype(np.int64))
+
+
+def test_huge_gaps():
+    ids = np.array([5, 2**40, 2**62], dtype=np.uint64)
+    tfs = np.array([1, 2, 3], dtype=np.uint64)
+    buf, _ = encode_postings(ids, tfs)
+    d, t = decode_postings(buf)
+    assert np.array_equal(d, ids) and list(t) == [1, 2, 3]

@@ -1,0 +1,101 @@
+"""End-to-end rank identity: distributed engine == single-node oracle on the
+20-query reference set, for both analyzer modes and both scoring kernels
+(FIXTURES.md §3; the analogue of the reference's ranx evaluation,
+reference: backend/evaluation/evaluation_pipeline.py:122-146, but exact)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clinical_trial_searchengine_spark.sources.corpus import reference_queries
+from tests.oracle import BM25Oracle
+
+TOL = 1e-9
+
+
+def _assert_rank_identical(expected, got, qid):
+    assert [d for d, _ in expected] == [d for d, _ in got], (
+        f"{qid}: docIDs differ\n exp={expected[:5]}\n got={got[:5]}"
+    )
+    for (d, es), (_, gs) in zip(expected, got):
+        assert abs(es - gs) <= TOL, f"{qid} doc {d}: {es} != {gs}"
+
+
+@pytest.fixture(scope="module")
+def oracle_standard(small_corpus_pdf):
+    return BM25Oracle(small_corpus_pdf, mode="standard")
+
+
+@pytest.fixture(scope="module")
+def oracle_porter(small_corpus_pdf):
+    return BM25Oracle(small_corpus_pdf, mode="porter")
+
+
+def test_rank_identity_standard(built_index, oracle_standard):
+    for q in reference_queries():
+        exp = oracle_standard.search(q["text"], q["k"])
+        got = built_index.search_topk_rows(q["text"], q["k"])
+        _assert_rank_identical(exp, got, q["query_id"])
+
+
+def test_rank_identity_wand(built_index, oracle_standard):
+    """Block-max WAND kernel == exhaustive == oracle (B6 equivalence)."""
+    for q in reference_queries():
+        exp = oracle_standard.search(q["text"], q["k"])
+        got = built_index.search_topk_rows(q["text"], q["k"], use_wand=True)
+        _assert_rank_identical(exp, got, q["query_id"])
+
+
+def test_rank_identity_porter(built_index_porter, oracle_porter):
+    for q in reference_queries():
+        exp = oracle_porter.search(q["text"], q["k"])
+        got = built_index_porter.search_topk_rows(q["text"], q["k"])
+        _assert_rank_identical(exp, got, q["query_id"])
+
+
+def test_empty_and_nohit_queries(built_index):
+    assert built_index.search_topk_rows("zzznohit qqqmissing", 10) == []
+    assert built_index.search_topk_rows("", 10) == []
+    # standard mode keeps stopwords: 'the' is a real (hot) term
+    assert len(built_index.search_topk_rows("the", 5)) == 5
+
+
+def test_stopword_only_query_porter(built_index_porter):
+    assert built_index_porter.search_topk_rows("the of and is to", 10) == []
+
+
+def test_include_meta_join(built_index, small_corpus_pdf):
+    rows = built_index.search("def license", 5, include_meta=True).collect()
+    assert len(rows) == 5
+    sorted_pdf = small_corpus_pdf.sort_values(
+        ["repo", "path", "commit"]
+    ).reset_index(drop=True)
+    for r in rows:
+        src = sorted_pdf.iloc[r["doc_id"]]
+        assert (r["repo"], r["path"], r["commit"]) == (
+            src["repo"], src["path"], src["commit"],
+        )
+
+
+def test_filter_context(built_index, spark):
+    """B4/F2: filters restrict membership but never change scores."""
+    from pyspark.sql import functions as F
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    dm = spark.read.parquet(
+        seg.path_of(built_index.index_dir, seg.DOC_META)
+    )
+    allowed = dm.where(F.col("lang") == "python").select("doc_id")
+    allowed_ids = {r["doc_id"] for r in allowed.collect()}
+    got = built_index.search(
+        "def license", 10, filter_doc_ids=allowed
+    ).collect()
+    assert got, "filtered search returned nothing"
+    assert all(r["doc_id"] in allowed_ids for r in got)
+    # scores unchanged vs unfiltered scoring of the same docs
+    full = {
+        r["doc_id"]: r["score"]
+        for r in built_index.search_all("def license").collect()
+    }
+    for r in got:
+        assert abs(full[r["doc_id"]] - r["score"]) <= TOL
