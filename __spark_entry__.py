@@ -1,38 +1,734 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship BM25 top-k on sf0.001.
+`queries()` — one entry per implemented operator family from SURVEY.md §2
+plus the training-data-pipeline operators (dedup / similarity / text
+analysis / multimodal plumbing).
+`oracle_sql()` — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Column names and float rounding are aligned between both sides (the driver
+hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_trial_searchengine_spark.plans.dataframe_bm25 import (
+    bm25_oracle_sql,
+    bm25_topk,
+)
+
+_DOCS = "documents.parquet"
+_Q_TERMS = {"merge": 1.0, "join": 1.0, "filter": 1.0}
+
+_STOP12 = "'the','a','an','and','or','of','to','in','is','it','that','for'"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return bm25_topk(docs, _Q_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def _q_bm25_topk(spark, sf_dir):
+    return bm25_topk(_t(spark, sf_dir, "documents"), _Q_TERMS, k=10)
+
+
+def _q_bm25_function_score(spark, sf_dir):
+    # B3: multiplicative boosts (reference: backend/api/main.py:293-314)
+    docs = _t(spark, sf_dir, "documents")
+    boost = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.15).otherwise(1.0).alias("_boost"),
+    )
+    return bm25_topk(docs, _Q_TERMS, k=10, boost=boost)
+
+
+def _q_bm25_filtered(spark, sf_dir):
+    # B4 filter context: membership only, scores unchanged
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, _Q_TERMS, k=10,
+        filter_df=docs.where(F.col("lang") == "en").select("doc_id"),
+    )
+
+
+def _q_engine_bm25_topk(spark, sf_dir):
+    """The REAL segment engine (build -> compressed postings -> distributed
+    scoring) gated against the same DuckDB BM25 oracle."""
+    import hashlib
+
+    from clinical_trial_searchengine_spark.engine import SearchEngine
+    from clinical_trial_searchengine_spark.plans import segments as seg
+    from clinical_trial_searchengine_spark.sources.tables import (
+        documents_as_corpus,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/ctse_driver_index_{tag}"
+    eng = SearchEngine(spark, index_dir)
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        eng.build(
+            documents_as_corpus(spark, sf_dir),
+            mode="standard",
+            shard_size=2048,
+            hot_df_threshold=1000,
+        )
+    scored = eng.search_all("merge join filter")
+    dm = spark.read.parquet(seg.path_of(index_dir, seg.DOC_META)).select(
+        "doc_id",
+        F.expr("cast(substring(path, 5, 100) as long)").alias("orig_doc_id"),
+    )
+    return (
+        scored.join(dm, "doc_id")
+        .select(
+            F.col("orig_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _q_term_df_stats(spark, sf_dir):
+    # A7: global df/cf via two-phase hash agg
+    from clinical_trial_searchengine_spark.plans.dataframe_bm25 import tokens_df
+
+    tok = tokens_df(_t(spark, sf_dir, "documents"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    from clinical_trial_searchengine_spark.functions.text import (
+        token_count,
+        word_token_count,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        word_token_count("text").alias("word_tokens"),
+    )
+
+
+def _q_sha256_invariant(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("text_sha256")
+    )
+
+
+def _q_quality_features(spark, sf_dir):
+    from clinical_trial_searchengine_spark.functions.text import quality_features
+
+    f = quality_features("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["mean_word_len"].alias("mean_word_len"),
+    )
+
+
+def _q_fingerprint_md5(spark, sf_dir):
+    from clinical_trial_searchengine_spark.functions.text import fingerprint_md5
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_md5("text").alias("fp")
+    )
+
+
+def _q_dedup_exact_prefix(spark, sf_dir):
+    # exact dedup (hash groupBy) on a 60-char prefix (the full texts are
+    # unique in this corpus; the prefix has real collisions)
+    from clinical_trial_searchengine_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("prefix")
+    )
+    return exact_duplicates(docs, text_col="prefix", id_col="doc_id")
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    from clinical_trial_searchengine_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, n=3
+    )
+
+
+def _q_minhash_lsh_dedup(spark, sf_dir):
+    # MinHash+LSH candidates verified with exact Jaccard; at j>=0.8 with
+    # 128 hashes / 32 bands recall is ~1-1e-7, so the exact-pairs SQL is a
+    # valid oracle
+    from clinical_trial_searchengine_spark.operators.dedup import (
+        minhash_lsh_duplicates,
+    )
+
+    return minhash_lsh_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from clinical_trial_searchengine_spark.operators.dedup import (
+        simhash_duplicates,
+    )
+
+    return simhash_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _q_lang_id_counts(spark, sf_dir):
+    from clinical_trial_searchengine_spark.functions.text import lang_id
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _q_substring_collapse(spark, sf_dir):
+    # X15/X16: truncation + whitespace collapse
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), r"\s+", " "), 1, 80
+        ).alias("norm_prefix"),
+    )
+
+
+def _q_ilike_scan(spark, sf_dir):
+    # F10: substring scan filter
+    return _t(spark, sf_dir, "documents").where(
+        F.lower("text").contains("merge join")
+    ).select("doc_id")
+
+
+def _q_point_lookup(spark, sf_dir):
+    # S8: point lookup by stable key
+    return _t(spark, sf_dir, "documents").where(F.col("doc_id") == 42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _q_filter_range_membership(spark, sf_dir):
+    # F2 (term) + F3 (membership) + F4 (range pair)
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") >= 50000)
+        & (F.col("o_totalprice") <= 100000)
+        & (F.col("o_custkey") % 10 == 0)
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+
+
+def _q_denorm_children(spark, sf_dir):
+    # J1/A1: parent-children denormalization with ordered child concat
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("line_numbers"),
+    )
+    return _t(spark, sf_dir, "orders").select("o_orderkey").join(
+        agg, F.col("o_orderkey") == F.col("l_orderkey"), "inner"
+    ).select("o_orderkey", "n_items", "sum_qty", "line_numbers")
+
+
+def _q_semi_join_topk_fetch(spark, sf_dir):
+    # T1 + J2: top-k then broadcast semi-join fetch
+    from clinical_trial_searchengine_spark.operators.joins import fetch_by_topk_ids
+    from clinical_trial_searchengine_spark.operators.topk import topk
+
+    o = _t(spark, sf_dir, "orders")
+    top = topk(o, "o_totalprice", 10, id_col="o_orderkey").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return fetch_by_topk_ids(li, top, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("qty")
+    )
+
+
+def _q_rrf_fusion(spark, sf_dir):
+    # J3/A4: reciprocal-rank fusion of two ranked customer lists
+    from clinical_trial_searchengine_spark.operators.topk import (
+        rank_column,
+        rrf_fuse,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    by_bal = rank_column(
+        c.select(F.col("c_custkey").alias("doc_id"), "c_acctbal"),
+        "c_acctbal", id_col="doc_id",
+    )
+    by_orders = rank_column(
+        o.groupBy(F.col("o_custkey").alias("doc_id")).agg(
+            F.count("*").cast("double").alias("n_orders")
+        ),
+        "n_orders", id_col="doc_id",
+    )
+    fused = rrf_fuse([by_bal, by_orders], id_col="doc_id", k=60)
+    return (
+        fused.select(
+            F.col("doc_id").alias("c_custkey"),
+            F.round("rrf_score", 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q_minmax_norm(spark, sf_dir):
+    # A3: min-max normalization
+    from clinical_trial_searchengine_spark.operators.topk import minmax_normalize
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    return minmax_normalize(o, "o_totalprice").select(
+        "o_orderkey", F.round("norm_score", 6).alias("norm_score")
+    )
+
+
+def _q_window_rank(spark, sf_dir):
+    # J4-shape: per-group ranking window
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    # streaming-analogue tumbling-window agg, run as batch
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def _q_json_extract_props(spark, sf_dir):
+    # X4-shape: regex numeric extraction from semi-structured text
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "k",
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_set_ops_lang_tokens(spark, sf_dir):
+    # U1/U2: distinct-token set union / intersection across two slices
+    from clinical_trial_searchengine_spark.plans.dataframe_bm25 import tokens_df
+
+    d = _t(spark, sf_dir, "documents")
+    es = tokens_df(d.where(F.col("lang") == "es")).select("term").distinct()
+    de = tokens_df(d.where(F.col("lang") == "de")).select("term").distinct()
+    return (
+        es.agg(F.count("*").alias("n_es"))
+        .crossJoin(de.agg(F.count("*").alias("n_de")))
+        .crossJoin(es.intersect(de).agg(F.count("*").alias("n_intersect")))
+        .crossJoin(es.union(de).distinct().agg(F.count("*").alias("n_union")))
+    )
+
+
+def _q_topk_tiebreak(spark, sf_dir):
+    # T1/T6: bounded top-k with explicit secondary/tertiary tie-break
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("qty")
+        )
+        .orderBy(F.desc("qty"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+    )
+
+
+def _q_nested_exists(spark, sf_dir):
+    # F6: predicate inside a nested collection via higher-order exists()
+    o = _t(spark, sf_dir, "orders")
+    nested = o.groupBy("o_custkey").agg(
+        F.collect_list(F.struct("o_orderkey", "o_totalprice")).alias("orders_arr")
+    )
+    return nested.where(
+        F.expr("exists(orders_arr, x -> x.o_totalprice > 300000)")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from clinical_trial_searchengine_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb, [float(x) for x in qvec], k=10, round_to=4)
+
+
+def _q_ann_knn_join(spark, sf_dir):
+    import pandas as pd
+
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        cosine_knn_join,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id").isin([0, 1, 2])).orderBy("vec_id").collect()
+    queries = pd.DataFrame(
+        {
+            "query_id": [f"q{r['vec_id']}" for r in qrows],
+            "vec": [[float(x) for x in r["embedding"]] for r in qrows],
+        }
+    )
+    out = cosine_knn_join(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def _q_ann_cosine_lsh(spark, sf_dir):
+    # approximate path: rows-only check (bucket recall is probabilistic)
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        cosine_topk_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk_lsh(emb, [float(x) for x in qvec], k=10, n_planes=10)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    # binary-column plumbing with stubbed decode (container lacks codecs)
+    from clinical_trial_searchengine_spark.operators.multimodal import (
+        attach_media_stub,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    media = attach_media_stub(docs, "doc_id", "text", kind="image")
+    return extract_features(media, n_features=8).select(
+        "media_id", F.size("features").alias("n_features")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk": _q_bm25_topk,
+        "bm25_function_score": _q_bm25_function_score,
+        "bm25_filtered": _q_bm25_filtered,
+        "engine_bm25_topk": _q_engine_bm25_topk,
+        "term_df_stats": _q_term_df_stats,
+        "doc_token_stats": _q_doc_token_stats,
+        "sha256_invariant": _q_sha256_invariant,
+        "quality_features": _q_quality_features,
+        "fingerprint_md5": _q_fingerprint_md5,
+        "dedup_exact_prefix": _q_dedup_exact_prefix,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "lang_id_counts": _q_lang_id_counts,
+        "substring_collapse": _q_substring_collapse,
+        "ilike_scan": _q_ilike_scan,
+        "point_lookup": _q_point_lookup,
+        "filter_range_membership": _q_filter_range_membership,
+        "denorm_children": _q_denorm_children,
+        "semi_join_topk_fetch": _q_semi_join_topk_fetch,
+        "rrf_fusion": _q_rrf_fusion,
+        "minmax_norm": _q_minmax_norm,
+        "window_rank": _q_window_rank,
+        "events_hourly": _q_events_hourly,
+        "json_extract_props": _q_json_extract_props,
+        "set_ops_lang_tokens": _q_set_ops_lang_tokens,
+        "topk_tiebreak": _q_topk_tiebreak,
+        "nested_exists": _q_nested_exists,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_knn_join": _q_ann_knn_join,
+        "ann_cosine_lsh": _q_ann_cosine_lsh,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({tok}) - 2, 0) + 1), "
+    "i -> array_to_string(list_slice({tok}, i, i + 2), ' ')))"
+).format(tok=_TOK)
+
+_JACCARD_PAIRS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM documents
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE ni / (sa.n + sb.n - ni) >= 0.8
+"""
+
+_LANGS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "que"],
+    "it": ["il", "di", "che", "la", "per", "con", "una", "sono", "non", "gli"],
+}
+
+
+def _lang_id_oracle() -> str:
+    """First-strict-max over sorted langs, matching functions/text.py
+    lang_id exactly (first 200 whitespace words, set-membership counts)."""
+    counts = []
+    for lang, words in _LANGS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        counts.append(
+            f"len(list_filter(words, w -> w IN ({wl}))) AS n_{lang}"
+        )
+    langs = sorted(_LANGS)
+    arms = []
+    for i, lg in enumerate(langs):
+        later = [f"n_{lg} >= n_{x}" for x in langs[i + 1 :]]
+        earlier = [f"n_{lg} > n_{x}" for x in langs[:i]]
+        cond = " AND ".join([f"n_{lg} > 0"] + earlier + later)
+        arms.append(f"WHEN {cond} THEN '{lg}'")
+    case = "CASE " + " ".join(arms) + " ELSE 'und' END"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_slice(regexp_extract_all(lower(text), '\\S+'), 1, 200)) AS words
+  FROM documents
+),
+c AS (SELECT doc_id, {', '.join(counts)} FROM w)
+SELECT {case} AS lang_pred, count(*) AS n_docs FROM c GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+    sqls["bm25_topk"] = bm25_oracle_sql(_Q_TERMS, k=10)
+    sqls["bm25_function_score"] = bm25_oracle_sql(
+        _Q_TERMS, k=10,
+        boost_case="CASE WHEN d.lang = 'en' THEN 1.15 ELSE 1.0 END",
+    )
+    sqls["bm25_filtered"] = bm25_oracle_sql(_Q_TERMS, k=10, where="d.lang = 'en'")
+    sqls["engine_bm25_topk"] = bm25_oracle_sql(_Q_TERMS, k=10)
+    sqls["term_df_stats"] = f"""
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+"""
+    sqls["doc_token_stats"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+       len({_TOK}) AS word_tokens
+FROM documents
+"""
+    sqls["sha256_invariant"] = (
+        "SELECT doc_id, sha256(text) AS text_sha256 FROM documents"
+    )
+    sqls["quality_features"] = f"""
+SELECT doc_id,
+       len({_TOK}) AS n_words,
+       round(len(list_filter({_TOK}, w -> w IN ({_STOP12})))
+             / greatest(len({_TOK}), 1), 6) AS stopword_ratio,
+       round(len(regexp_extract_all(text, '[.,;:!?]'))
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round((length(text) - len({_TOK}) + 1)
+             / greatest(len({_TOK}), 1), 6) AS mean_word_len
+FROM documents
+"""
+    sqls["fingerprint_md5"] = (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+        "AS fp FROM documents"
+    )
+    sqls["dedup_exact_prefix"] = """
+SELECT sha256(substr(text, 1, 60)) AS text_sha256,
+       count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) >= 2
+"""
+    sqls["ngram_jaccard_pairs"] = _JACCARD_PAIRS_SQL
+    sqls["minhash_lsh_dedup"] = _JACCARD_PAIRS_SQL
+    sqls["lang_id_counts"] = _lang_id_oracle()
+    sqls["substring_collapse"] = (
+        "SELECT doc_id, substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 80) "
+        "AS norm_prefix FROM documents"
+    )
+    sqls["ilike_scan"] = (
+        "SELECT doc_id FROM documents WHERE lower(text) LIKE '%merge join%'"
+    )
+    sqls["point_lookup"] = (
+        "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
+    )
+    sqls["filter_range_membership"] = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 50000
+  AND o_totalprice <= 100000 AND o_custkey % 10 = 0
+"""
+    sqls["denorm_children"] = """
+SELECT o.o_orderkey,
+       count(*) AS n_items,
+       round(sum(l.l_quantity), 2) AS sum_qty,
+       string_agg(l.l_linenumber::VARCHAR, ',' ORDER BY l.l_linenumber) AS line_numbers
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+    sqls["semi_join_topk_fetch"] = """
+WITH top AS (
+  SELECT o_orderkey FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+)
+SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM top)
+"""
+    sqls["rrf_fusion"] = """
+WITH by_bal AS (
+  SELECT c_custkey AS id,
+         row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer
+),
+by_orders AS (
+  SELECT o_custkey AS id,
+         row_number() OVER (ORDER BY count(*) DESC, o_custkey ASC) AS rank
+  FROM orders GROUP BY o_custkey
+),
+u AS (
+  SELECT id, 1.0 / (60 + rank + 1) AS rrf FROM by_bal
+  UNION ALL
+  SELECT id, 1.0 / (60 + rank + 1) AS rrf FROM by_orders
+)
+SELECT id AS c_custkey, round(sum(rrf), 6) AS rrf_score
+FROM u GROUP BY id
+ORDER BY round(sum(rrf), 6) DESC, id ASC LIMIT 20
+"""
+    sqls["minmax_norm"] = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey < 200),
+b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM o)
+SELECT o_orderkey,
+       round(CASE WHEN b.mx = b.mn THEN 1.0
+             ELSE (o_totalprice - b.mn) / (b.mx - b.mn) END, 6) AS norm_score
+FROM o CROSS JOIN b
+"""
+    sqls["window_rank"] = """
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+    sqls["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+    sqls["json_extract_props"] = """
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)), 4) AS avg_k,
+       max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+    sqls["set_ops_lang_tokens"] = f"""
+WITH es AS (SELECT DISTINCT unnest({_TOK}) AS term FROM documents WHERE lang = 'es'),
+de AS (SELECT DISTINCT unnest({_TOK}) AS term FROM documents WHERE lang = 'de')
+SELECT (SELECT count(*) FROM es) AS n_es,
+       (SELECT count(*) FROM de) AS n_de,
+       (SELECT count(*) FROM (SELECT term FROM es INTERSECT SELECT term FROM de)) AS n_intersect,
+       (SELECT count(*) FROM (SELECT term FROM es UNION SELECT term FROM de)) AS n_union
+"""
+    sqls["topk_tiebreak"] = """
+SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+FROM lineitem
+ORDER BY round(l_quantity, 2) DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 20
+"""
+    sqls["nested_exists"] = (
+        "SELECT DISTINCT o_custkey AS c_custkey FROM orders "
+        "WHERE o_totalprice > 300000"
+    )
+    sqls["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], q.v), 4) AS cosine
+FROM embeddings CROSS JOIN q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+    sqls["ann_knn_join"] = """
+WITH q AS (
+  SELECT 'q' || vec_id::VARCHAR AS query_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+    # no oracle (rows-only driver check): simhash_pairs (md5 bit math not
+    # SQL-practical), ann_cosine_lsh (probabilistic recall),
+    # multimodal_features (stubbed decode)
+    return sqls

@@ -1,0 +1,315 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale:
+
+* exact (content-hash groupBy)            — one shuffle, no UDF
+* n-gram Jaccard (exact, shingle join)    — built-ins only; quadratic on hot
+                                            shingles, use MinHash at scale
+* MinHash + LSH banding                   — the scale path for near-dup
+* SimHash + pigeonhole banding            — hamming-distance near-dup
+
+All signatures are deterministic (crc32/md5-derived, never Python hash()).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by sha256(text).
+
+    Returns (text_sha256, n_dups, keep_id): one row per duplicated content
+    (n_dups >= 2); keep_id = min id is the canonical survivor.  Single
+    hash-agg shuffle with map-side combine — the pattern holds at any scale.
+    """
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_sha256"), F.col(id_col))
+        .groupBy("text_sha256")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Return df with exact duplicates removed (keep min-id per content)."""
+    w_keep = (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_keep.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles (shared)
+# ---------------------------------------------------------------------------
+
+
+def shingle_expr(text_col: str, n: int = 3) -> str:
+    """SQL expression: distinct word n-gram shingles of lower(text).
+    Identical semantics in Spark SQL and DuckDB (oracle-able)."""
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    # guard: Spark sequence(1, 0) DESCENDS instead of being empty
+    return (
+        f"case when size({toks}) < {n} then array() else "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))) end"
+    )
+
+
+def _shingle_set(text: str, n: int = 3) -> set[str]:
+    toks = __import__(
+        "clinical_trial_searchengine_spark.functions.analysis",
+        fromlist=["tokenize_text"],
+    ).tokenize_text(text, "standard")
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (small/medium scale or post-LSH verify)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-Jaccard >= threshold — exact,
+    via shingle equi-join + count.  Built-ins only (no UDF).
+
+    Scale note: the shingle self-join explodes on hot shingles; at corpus
+    scale use :func:`minhash_lsh_duplicates` and keep this as the verify
+    stage on LSH candidates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(shingle_expr(text_col, n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(num_hashes: int = 128, n: int = 3, seed: int = 42):
+    """text -> array<long> MinHash signature (vectorized numpy inside a
+    pandas UDF; Arrow-batched)."""
+    a, b = _perm_params(num_hashes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_set(t or "", n)
+            if not sh:
+                out.append([0] * num_hashes)
+                continue
+            hs = np.array(
+                [zlib.crc32(s.encode()) for s in sh], dtype=np.uint64
+            )
+            # (a*h + b) mod p, min over shingles — num_hashes x |sh| matrix
+            m = (a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE
+            out.append(m.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
+def minhash_lsh_duplicates(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding.
+
+    shingle -> minhash -> band -> bucket-join (the classic pipeline): docs
+    sharing any band bucket become candidates; candidates are verified with
+    exact shingle Jaccard when ``verify=True``.  Returns
+    (id_a, id_b [, jaccard]).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_udf(num_hashes, n)(F.col(text_col)).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*{r}+1, {r}))) as bucket))"
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band"), F.col("bb.bucket"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    pairs = (
+        cand.join(texts.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("t", "t_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("t", "t_b"), "id_b")
+    )
+
+    @F.pandas_udf("double")
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        vals = []
+        for x, y in zip(ta, tb):
+            sa, sb = _shingle_set(x or "", n), _shingle_set(y or "", n)
+            u = len(sa | sb)
+            vals.append(round(len(sa & sb) / u, 6) if u else 0.0)
+        return pd.Series(vals)
+
+    return (
+        pairs.withColumn("jaccard", _jac("t_a", "t_b"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_udf(seed: int = 42):
+    """text -> 64-bit SimHash (as signed long): tf-weighted bit votes over
+    md5-derived token hashes."""
+
+    @F.pandas_udf(LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            from collections import Counter
+
+            shifts = np.arange(64, dtype=np.uint64)
+            for w, tf in Counter(toks).items():
+                h = np.uint64(int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[:8], "little"
+                ))
+                bits = (h >> shifts) & np.uint64(1)
+                votes += tf * (2 * bits.astype(np.int64) - 1)
+            h64 = np.uint64(0)
+            for i in range(64):
+                if votes[i] > 0:
+                    h64 |= np.uint64(1) << np.uint64(i)
+            out.append(int(h64.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return _sim
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) bands; any pair
+    within distance shares >= 1 exact band -> equi-join per band, then exact
+    hamming via bit_count(xor) filter. No quadratic blowup.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sim")
+    )
+    banded = sh.select(
+        "id", "sim",
+        F.explode(
+            F.expr(
+                # logical shift (sim is signed int64), then mask band bits
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"b -> struct(b as band, shiftrightunsigned(sim, b*{width}) & {(1 << width) - 1} as bits))"
+            )
+        ).alias("bb"),
+    ).select("id", "sim", F.col("bb.band"), F.col("bb.bits"))
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bits"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(
+                F.col("x.sim").bitwiseXOR(F.col("y.sim"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

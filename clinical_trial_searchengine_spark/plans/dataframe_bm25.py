@@ -1,0 +1,159 @@
+"""BM25 as a pure DataFrame composition (no custom segments).
+
+This is option (a) for custom operators — express the semantics with built-in
+ops and let Catalyst plan it.  It scores a corpus DataFrame directly:
+tokenize (JVM regexp), tf/df/dl/avgdl via two-phase hash aggregates, score,
+TakeOrderedAndProject top-k.  Used for:
+
+* the driver's DuckDB-oracle correctness gate (every step is ANSI-SQL),
+* ad-hoc queries over corpora that have no prebuilt segment index,
+* a readable spec of exactly what the segment engine (plans/build.py +
+  plans/query.py) must reproduce.
+
+The segment engine is the scale path (index built once, queries touch only
+their terms); this full-scan path re-tokenizes per query — fine for one-off
+analytics, wrong for a query service.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+TOKENS_EXPR = "regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+
+
+def tokens_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(TOKENS_EXPR.format(col=text_col))).alias("term"),
+    )
+
+
+def bm25_score_all(
+    docs: DataFrame,
+    query_terms: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score every matching doc for {term: qtf}. Returns (doc_id, score)."""
+    spark = docs.sparkSession
+    tok = tokens_df(docs, text_col, id_col)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    q = spark.createDataFrame(
+        [(t, float(w)) for t, w in sorted(query_terms.items())],
+        "term string, qtf double",
+    )
+    dfreq = tf.join(F.broadcast(q), "term", "left_semi").groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    return (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("qtf")
+                * F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf")
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("score")
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: dict[str, float],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boost: DataFrame | None = None,
+    filter_df: DataFrame | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k with the engine tie-break; scores rounded so a DuckDB oracle
+    computing the identical formula hashes equal (float sum order differs at
+    ~1e-16 between engines).
+
+    ``boost``: optional (doc_id, _boost) DataFrame — multiplicative
+    function-score (B3 shape, reference: backend/api/main.py:293-314).
+    ``filter_df``: optional (doc_id) DataFrame — filter context (B4):
+    membership only, scores untouched, applied BEFORE the limit."""
+    scored = bm25_score_all(docs, query_terms, text_col, id_col)
+    if boost is not None:
+        scored = scored.join(boost, "doc_id", "left").withColumn(
+            "score", F.col("score") * F.coalesce(F.col("_boost"), F.lit(1.0))
+        ).drop("_boost")
+    if filter_df is not None:
+        scored = scored.join(filter_df.select("doc_id"), "doc_id", "left_semi")
+    return (
+        scored.withColumn("score", F.round("score", round_to))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: dict[str, float],
+    k: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    where: str = "",
+    boost_case: str = "",
+    round_to: int = 4,
+) -> str:
+    """DuckDB SQL computing the identical BM25 — the driver's oracle."""
+    values = ", ".join(
+        f"('{t}', {float(w)!r})" for t, w in sorted(query_terms.items())
+    )
+    filt = f"WHERE {where}" if where else ""
+    boost = boost_case or "1.0"
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(term, qtf) AS (VALUES {values}),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS raw
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1
+),
+boosted AS (
+  SELECT d.doc_id, round(s.raw * {boost}, {round_to}) AS score
+  FROM scored s JOIN {table} d ON d.{id_col} = s.doc_id
+  {filt}
+)
+SELECT doc_id, score FROM boosted
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
