@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from clinical_trial_searchengine_spark.plans.build import build_index
-from clinical_trial_searchengine_spark.plans.query import search, search_all
+from clinical_trial_searchengine_spark.plans.query import (
+    IndexHandle,
+    search,
+    search_all,
+)
 from clinical_trial_searchengine_spark.plans.segments import read_meta
 
 
@@ -16,19 +20,36 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        self._handle: IndexHandle | None = None
 
     def build(self, corpus: DataFrame, **kwargs) -> dict:
+        self._handle = None  # segments changed
         return build_index(self.spark, corpus, self.index_dir, **kwargs)
 
     @property
     def meta(self) -> dict:
         return read_meta(self.index_dir)
 
+    def handle(self) -> IndexHandle:
+        if self._handle is None:
+            self._handle = IndexHandle(self.spark, self.index_dir)
+        return self._handle
+
+    def warm(self, postings: bool = True) -> "SearchEngine":
+        """Persist norms (+ postings) for a query-serving session."""
+        self.handle().warm(postings)
+        return self
+
     def search(self, query_text: str, k: int = 10, **kwargs) -> DataFrame:
-        return search(self.spark, self.index_dir, query_text, k, **kwargs)
+        return search(
+            self.spark, self.index_dir, query_text, k,
+            handle=self.handle(), **kwargs,
+        )
 
     def search_all(self, query_text: str) -> DataFrame:
-        return search_all(self.spark, self.index_dir, query_text)
+        return search_all(
+            self.spark, self.index_dir, query_text, handle=self.handle()
+        )
 
     def search_topk_rows(self, query_text: str, k: int = 10, **kwargs):
         """Driver-side list[(doc_id, score)] — convenience for tests/bench."""

@@ -3,48 +3,61 @@
 Single logical DAG (SURVEY.md §3.4), all vectorized:
 
   read corpus -> sha256 invariant check -> deterministic doc_id assignment
-  -> analyzer pandas UDF (per-doc sorted (term, tf) + doc_len)
+  -> tokenizer mapInPandas kernel emitting FLAT (doc_id, term, tf) rows
   -> doc_meta + global stats + GLOBAL per-term df/cf
-  -> salted shuffle: groupBy(shard, term, salt) -> encode kernel
-     (delta + varint + block-max metadata, functions/codec.py)
-  -> merge salted runs per (shard, term) -> join global term stats
+  -> salted shuffle: groupBy(shard, term_bucket, salt) -> bucket encode
+     kernel (delta + varint + block-max metadata, functions/codec.py)
+  -> merge salted runs (hot terms only) -> join global term stats
   -> write postings (partitioned by shard), norms, manifest, metrics.
 
-Scale notes (the part that matters at 10^12 docs):
-* doc_id = global rank under (repo, path, commit) — computed with a range
-  repartition + per-partition row_number + tiny collected offset table, never
-  a global single-partition window.  Rank is independent of partition
-  boundaries, so resume/rerun always reassigns identical ids.
-* tf is counted INSIDE the analyzer UDF, so the big shuffle moves one row per
-  (doc, distinct term), not per token (~50x fewer rows).
-* Hot terms ('def', 'the', ...; the reference-domain analogues are 'patient',
+Scale + performance notes (the part that matters at 10^12 docs):
+* doc_id = global rank under (repo, path, commit): ONE range shuffle +
+  in-partition sort + monotonically_increasing_id, then a tiny collected
+  per-partition offset table.  Rank is independent of partition boundaries,
+  so resume/rerun reassigns identical ids; no global window, no second
+  exchange.
+* The tokenizer emits flat columns (one row per (doc, distinct term)), never
+  nested array<struct> — Arrow-friendly, and ~50x fewer rows than exploding
+  raw tokens (tf is counted inside the kernel, A8).
+* The encode kernel processes a whole (shard, term_bucket, salt) group and
+  encodes each term with NumPy inside — thousands of terms per group
+  amortize the per-group Arrow/pandas overhead that a per-term grouping
+  would pay 10^8 times at scale.  term_buckets caps group memory.
+* Hot terms ('def', 'the', ...; reference-domain analogues 'patient',
   'trial') are salted into contiguous doc_id sub-ranges before the encode
-  shuffle; salted runs re-merge to byte-identical lists (property-tested).
+  shuffle; only salted runs go through the merge kernel, everything else
+  bypasses it.  Salted == unsalted output byte-identically (property-tested).
 * Per-term df/cf are computed globally BEFORE sharding and joined onto every
   shard's rows — per-shard stats would silently change BM25 (SURVEY.md
-  §2.8-B5: the reference's single shard makes stats exact; ours must too).
+  §2.8-B5; the reference's single shard makes stats exact, ours must too).
 * Resume: stage-grained manifest + per-shard-group postings writes, each
   group directory overwritten atomically (idempotent).  Reference analogue:
   page_token checkpoint (backend/db/scrape_clinical_trials.py:483-543).
+* persist_input: local corpora (and benchmarks) persist the input because it
+  is consumed by 3 passes (sha check, range sampling, range shuffle); on a
+  real cluster reading Iceberg, leave False and let the scans re-read.
 """
 
 from __future__ import annotations
 
+import itertools
 import math
 import time
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from clinical_trial_searchengine_spark.functions.analysis import make_analyze_udf
+from clinical_trial_searchengine_spark.functions.analysis import analyze_batch
 from clinical_trial_searchengine_spark.functions.codec import encode_postings
 from clinical_trial_searchengine_spark.plans import segments as seg
 
 DEFAULT_SHARD_SIZE = 100_000  # docs per shard; ~10-50M on a real cluster
 DEFAULT_NORM_CHUNK = 65_536   # doc_lens per norms row (256 KiB int32 cells)
+
+_MID_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid << 33 | row
 
 
 # ---------------------------------------------------------------------------
@@ -55,24 +68,30 @@ DEFAULT_NORM_CHUNK = 65_536   # doc_lens per norms row (256 KiB int32 cells)
 def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Dense doc_id = global rank under (repo, path, commit).
 
-    Range-repartition by the key, row_number within each partition, then add
-    the per-partition offsets (a tiny collected table — one row per
-    partition).  Avoids a global Window (single-reducer) at scale
-    (SURVEY.md §7 step 3).
+    repartitionByRange + sortWithinPartitions + monotonically_increasing_id
+    (pid << 33 | local row index), then add per-partition offsets (a tiny
+    collected table).  One shuffle total; no global Window (SURVEY.md §7
+    step 3).  The returned DataFrame is persisted (MEMORY_AND_DISK) because
+    the offset collection and every downstream consumer must see the same
+    materialized partitioning.
     """
     spark = corpus.sparkSession
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = corpus.repartitionByRange(num_partitions, "repo", "path", "commit")
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
-    local = with_pid.withColumn(
-        "_local", F.row_number().over(w).cast("long") - 1
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    counts = {r["_pid"]: r["cnt"] for r in
-              local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    ranged = (
+        corpus.repartitionByRange(num_partitions, "repo", "path", "commit")
+        .sortWithinPartitions("repo", "path", "commit")
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", (F.col("_mid") / (_MID_MASK + 1)).cast("int"))
+        .withColumn("_local", F.col("_mid").bitwiseAND(F.lit(_MID_MASK)))
+        .drop("_mid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -82,37 +101,107 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
             [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
         )
     )
-    return (
-        local.join(off_df, "_pid")
+    out = (
+        ranged.join(off_df, "_pid")
         .withColumn("doc_id", F.col("_off") + F.col("_local"))
         .drop("_pid", "_local", "_off")
     )
+    out._ctse_persisted = ranged  # unpersist handle for the caller
+    return out
 
 
 # ---------------------------------------------------------------------------
-# encode / merge kernels (grouped-map pandas UDFs)
+# kernels
 # ---------------------------------------------------------------------------
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("doc_id")
+def _make_doc_len_col(mode: str):
+    """doc_len = analyzed token count.  standard mode is a pure JVM
+    expression; porter needs the Python kernel (stopword filter changes the
+    count).  Both match analyze_batch exactly."""
+    if mode == "standard":
+        return F.size(
+            F.expr("regexp_extract_all(lower(content), '[a-z0-9]+', 0)")
+        )
+
+    @F.pandas_udf("int")
+    def _dl(texts: pd.Series) -> pd.Series:
+        _, lens = analyze_batch(texts, mode)
+        return pd.Series(lens, dtype="int32")
+
+    return _dl(F.col("content"))
+
+
+def make_tokenize_pairs_kernel(mode: str):
+    """mapInPandas kernel: (doc_id, content) batches -> flat
+    (doc_id, term, tf) rows, tf counted in-kernel, terms sorted per doc."""
+
+    def kernel(batches):
+        for pdf in batches:
+            pairs, _lens = analyze_batch(pdf["content"], mode)
+            counts = [len(p) for p in pairs]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(dtype=np.int64), counts
+                    ),
+                    "term": list(
+                        itertools.chain.from_iterable(
+                            (t for t, _ in p) for p in pairs
+                        )
+                    ),
+                    "tf": np.fromiter(
+                        itertools.chain.from_iterable(
+                            (c for _, c in p) for p in pairs
+                        ),
+                        dtype=np.int32,
+                        count=int(sum(counts)),
+                    ),
+                }
+            )
+
+    return kernel
+
+
+def _encode_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Encode every term inside one (shard, term_bucket, salt) group.
+
+    Sort once by (term, doc_id), then slice per term — NumPy throughout."""
+    shard = int(pdf["shard"].iloc[0])
+    salt = int(pdf["salt"].iloc[0])
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    terms = pdf["term"].to_numpy()
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
     tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-    buf, n_blocks = encode_postings(doc_ids, tfs)
+    # term boundaries on the sorted column
+    change = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
+    bounds = np.concatenate((change, [len(terms)]))
+    out_terms, out_df, out_cf, out_nb, out_post = [], [], [], [], []
+    for i in range(len(change)):
+        lo, hi = bounds[i], bounds[i + 1]
+        buf, n_blocks = encode_postings(doc_ids[lo:hi], tfs[lo:hi])
+        out_terms.append(terms[lo])
+        out_df.append(hi - lo)
+        out_cf.append(int(tfs[lo:hi].sum()))
+        out_nb.append(n_blocks)
+        out_post.append(buf)
     return pd.DataFrame(
         {
-            "shard": [int(pdf["shard"].iloc[0])],
-            "term": [pdf["term"].iloc[0]],
-            "salt": [int(pdf["salt"].iloc[0])],
-            "df_part": [len(doc_ids)],
-            "cf_part": [int(tfs.sum())],
-            "n_blocks": [n_blocks],
-            "postings": [buf],
+            "shard": np.full(len(out_terms), shard, dtype=np.int32),
+            "term": out_terms,
+            "salt": np.full(len(out_terms), salt, dtype=np.int32),
+            "df_part": np.asarray(out_df, dtype=np.int64),
+            "cf_part": np.asarray(out_cf, dtype=np.int64),
+            "n_blocks": np.asarray(out_nb, dtype=np.int32),
+            "postings": out_post,
         }
     )
 
 
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge salted runs of one (shard, term): decode in salt order (salts
+    are contiguous doc_id sub-ranges), concat, re-encode — byte-identical to
+    an unsalted single encode."""
     from clinical_trial_searchengine_spark.functions.codec import decode_postings
 
     if len(pdf) == 1:
@@ -123,8 +212,6 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 "term": [row["term"]],
                 "n_blocks": [int(row["n_blocks"])],
                 "postings": [row["postings"]],
-                "df_shard": [int(row["df_part"])],
-                "cf_shard": [int(row["cf_part"])],
             }
         )
     pdf = pdf.sort_values("salt")
@@ -142,8 +229,6 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "term": [pdf["term"].iloc[0]],
             "n_blocks": [n_blocks],
             "postings": [buf],
-            "df_shard": [len(doc_ids)],
-            "cf_shard": [int(tfs.sum())],
         }
     )
 
@@ -177,13 +262,25 @@ def build_index(
     max_salts: int = 32,
     n_resume_groups: int = 4,
     norm_chunk: int = DEFAULT_NORM_CHUNK,
+    term_buckets: int | None = None,
     k1: float = 1.2,
     b: float = 0.75,
     verify_sha: bool = True,
+    persist_input: bool = True,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics dict."""
     t0 = time.time()
+    stage_sec: dict[str, float] = {}
+
+    def _tick(name: str, t_from: float) -> float:
+        now = time.time()
+        stage_sec[name] = round(now - t_from, 2)
+        return now
+
     done = seg.manifest_done(spark, index_dir)
+    t_cur = _tick("manifest_read", t0)
+    if persist_input:
+        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
 
     # -- invariant: content sha256 must equal the source column (input_hint) --
     sha_ok = True
@@ -203,28 +300,41 @@ def build_index(
                 raise ValueError(
                     f"content_sha256 invariant violated for {mismatches} rows"
                 )
+    t_cur = _tick("verify_sha", t_cur)
 
-    docs = assign_doc_ids(corpus)
-    analyzed = docs.select(
-        "doc_id", "repo", "path", "commit", "lang",
-        *(["content_sha256"] if "content_sha256" in corpus.columns else []),
-        make_analyze_udf(mode)(F.col("content")).alias("_a"),
-    ).select(
-        "doc_id", "repo", "path", "commit", "lang",
-        *(["content_sha256"] if "content_sha256" in corpus.columns else []),
-        F.col("_a.terms").alias("terms"),
-        F.col("_a.doc_len").alias("doc_len"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    docs = assign_doc_ids(corpus)  # persisted inside
+    t_cur = _tick("assign_doc_ids", t_cur)
 
-    # -- doc_meta + stats --
+    # -- flat (doc_id, term, tf) pairs --
+    pairs = (
+        docs.select("doc_id", "content")
+        .mapInPandas(
+            make_tokenize_pairs_kernel(mode), "doc_id long, term string, tf int"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t_cur = _tick("pairs_plan", t_cur)
+
+    # -- doc_meta (doc_len = sum tf; 0 for token-less docs) + stats --
+    meta_cols = ["doc_id", "repo", "path", "commit", "lang"] + (
+        ["content_sha256"] if "content_sha256" in corpus.columns else []
+    )
     if ("doc_meta", 0) not in done:
         start = time.time()
-        analyzed.drop("terms").write.mode("overwrite").parquet(
-            seg.path_of(index_dir, seg.DOC_META)
+        doc_len = pairs.groupBy("doc_id").agg(
+            F.sum("tf").cast("int").alias("doc_len")
+        )
+        (
+            docs.select(*meta_cols)
+            .join(doc_len, "doc_id", "left")
+            .withColumn("doc_len", F.coalesce("doc_len", F.lit(0)))
+            .write.mode("overwrite")
+            .parquet(seg.path_of(index_dir, seg.DOC_META))
         )
         seg.manifest_append(
             spark, index_dir, "doc_meta", 0, "done", started_at=start
         )
+    t_cur = _tick("doc_meta", t_cur)
     stats_row = (
         spark.read.parquet(seg.path_of(index_dir, seg.DOC_META))
         .agg(
@@ -248,12 +358,9 @@ def build_index(
             rows_in=num_docs, started_at=start,
         )
 
-    # -- pairs + GLOBAL term stats (exact df/cf; map-side combine kills skew) --
-    pairs = analyzed.select(
-        "doc_id", F.explode("terms").alias("_t")
-    ).select(
-        "doc_id", F.col("_t.term").alias("term"), F.col("_t.tf").alias("tf")
-    )
+    t_cur = _tick("stats", t_cur)
+
+    # -- GLOBAL term stats (exact df/cf; map-side combine kills skew) --
     if ("term_stats", 0) not in done:
         start = time.time()
         pairs.groupBy("term").agg(
@@ -263,15 +370,21 @@ def build_index(
             spark, index_dir, "term_stats", 0, "done", started_at=start
         )
     term_stats = spark.read.parquet(seg.path_of(index_dir, seg.TERM_STATS))
+    t_cur = _tick("term_stats", t_cur)
 
     # -- hot-term salt plan (explicit + logged, SURVEY.md §4.2) --
-    hot = term_stats.where(F.col("df") > hot_df_threshold).select(
-        "term", F.least(
-            F.lit(max_salts),
-            F.ceil(F.col("df") / F.lit(hot_df_threshold)).cast("int"),
-        ).alias("n_salts"),
+    hot_rows = (
+        term_stats.where(F.col("df") > hot_df_threshold)
+        .select(
+            "term",
+            F.least(
+                F.lit(max_salts),
+                F.ceil(F.col("df") / F.lit(hot_df_threshold)).cast("int"),
+            ).alias("n_salts"),
+        )
+        .collect()
     )
-    hot_rows = hot.collect()
+    hot_terms = [r["term"] for r in hot_rows]
     hot_df = spark.createDataFrame(
         [(r["term"], r["n_salts"]) for r in hot_rows] or [("", 1)],
         "term string, n_salts int",
@@ -280,8 +393,13 @@ def build_index(
         spark, index_dir, [("salt_plan", 0, "hot_terms", float(len(hot_rows)))]
     )
 
-    # -- salted encode shuffle --
+    t_cur = _tick("salt_plan", t_cur)
+
+    # -- salted encode shuffle over (shard, term_bucket, salt) groups --
     n_shards = max(1, math.ceil(num_docs / shard_size))
+    term_buckets = term_buckets or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     salted = (
         pairs.join(F.broadcast(hot_df), "term", "left")
         .withColumn("n_salts", F.coalesce("n_salts", F.lit(1)))
@@ -292,42 +410,58 @@ def build_index(
                 (F.col("doc_id") % shard_size) * F.col("n_salts") / shard_size
             ).cast("int"),
         )
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
     )
     enc_schema = (
         "shard int, term string, salt int, df_part long, cf_part long, "
         "n_blocks int, postings binary"
     )
-    encoded = salted.groupBy("shard", "term", "salt").applyInPandas(
-        _encode_group, enc_schema
+    encoded = salted.groupBy("shard", "bucket", "salt").applyInPandas(
+        _encode_bucket_group, enc_schema
     )
-    merge_schema = (
-        "shard int, term string, n_blocks int, postings binary, "
-        "df_shard long, cf_shard long"
-    )
-    merged = encoded.groupBy("shard", "term").applyInPandas(
-        _merge_group, merge_schema
-    )
+    merge_schema = "shard int, term string, n_blocks int, postings binary"
+    if hot_terms:
+        cold = encoded.where(~F.col("term").isin(hot_terms)).select(
+            "shard", "term", "n_blocks", "postings"
+        )
+        hot_merged = (
+            encoded.where(F.col("term").isin(hot_terms))
+            .groupBy("shard", "term")
+            .applyInPandas(_merge_group, merge_schema)
+        )
+        merged = cold.unionByName(hot_merged)
+    else:
+        merged = encoded.select("shard", "term", "n_blocks", "postings")
     final = (
         merged.join(term_stats, "term")
         .select("shard", "term", "df", "cf", "n_blocks", "postings")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    t_cur = _tick("encode_plan", t_cur)
+
     # -- postings written per shard-group (resume granularity) --
     n_groups = max(1, min(n_resume_groups, n_shards))
-    for g in range(n_groups):
-        if ("postings", g) in done:
-            continue
+    todo = [g for g in range(n_groups) if ("postings", g) not in done]
+    group_counts: dict[int, int] = {}
+    if todo:
+        group_counts = {
+            r["g"]: r["n"]
+            for r in final.groupBy(
+                (F.col("shard") % n_groups).alias("g")
+            ).agg(F.count("*").alias("n")).collect()
+        }
+    for g in todo:
         start = time.time()
-        part = final.where(F.col("shard") % n_groups == g)
         (
-            part.repartition("shard")
+            final.where(F.col("shard") % n_groups == g)
+            .repartition("shard")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(seg.path_of(index_dir, seg.POSTINGS) + f"/group={g}")
         )
-        n_terms = part.count()
+        n_terms = int(group_counts.get(g, 0))
         seg.manifest_append(
             spark, index_dir, "postings", g, "done",
             terms_out=n_terms, started_at=start,
@@ -336,6 +470,7 @@ def build_index(
             spark, index_dir, [("postings", g, "rows", float(n_terms))]
         )
     final.unpersist()
+    t_cur = _tick("postings_write", t_cur)
 
     # -- norms (doc_len arrays per shard chunk) --
     if ("norms", 0) not in done:
@@ -344,7 +479,8 @@ def build_index(
             "shard int, chunk int, first_doc_id long, n int, doc_lens binary"
         )
         (
-            analyzed.select("doc_id", "doc_len")
+            spark.read.parquet(seg.path_of(index_dir, seg.DOC_META))
+            .select("doc_id", "doc_len")
             .withColumn("shard", (F.col("doc_id") / shard_size).cast("int"))
             .withColumn(
                 "chunk", ((F.col("doc_id") % shard_size) / norm_chunk).cast("int")
@@ -356,7 +492,11 @@ def build_index(
         )
         seg.manifest_append(spark, index_dir, "norms", 0, "done", started_at=start)
 
-    analyzed.unpersist()
+    t_cur = _tick("norms", t_cur)
+    pairs.unpersist()
+    docs._ctse_persisted.unpersist()
+    if persist_input:
+        corpus.unpersist()
 
     meta = {
         "format_version": 1,
@@ -372,7 +512,9 @@ def build_index(
         "hot_df_threshold": hot_df_threshold,
         "max_salts": max_salts,
         "n_resume_groups": n_groups,
+        "term_buckets": term_buckets,
     }
     seg.write_meta(index_dir, meta)
     meta["build_seconds"] = time.time() - t0
+    meta["stage_seconds"] = stage_sec
     return meta

@@ -270,6 +270,48 @@ def analyze_query(query_text: str, mode: str) -> Counter:
     return Counter(tokenize_text(query_text, mode))
 
 
+class IndexHandle:
+    """Opened index: meta + lazily-read postings/norms DataFrames, shared
+    across queries.  ``warm()`` persists both (norms are small; postings fit
+    memory at sandbox scale — on a cluster, warm only norms)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = seg.read_meta(index_dir)
+        self.postings = spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS))
+        self.norms = spark.read.parquet(seg.path_of(index_dir, seg.NORMS))
+
+    def warm(self, postings: bool = True) -> "IndexHandle":
+        self.norms = self.norms.persist()
+        self.norms.count()
+        if postings:
+            self.postings = self.postings.persist()
+            self.postings.count()
+        return self
+
+    def close(self) -> None:
+        self.norms.unpersist()
+        self.postings.unpersist()
+
+
+def _scored_df(handle: IndexHandle, qtf: dict, k: int, use_wand: bool) -> DataFrame:
+    meta = handle.meta
+    make = _make_wand_kernel if use_wand else _make_exhaustive_kernel
+    kernel = make(
+        dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
+        meta["k1"], meta["b"], meta["shard_size"], k,
+    )
+    postings = handle.postings.where(F.col("term").isin(list(qtf)))
+    hit_shards = postings.select("shard").distinct()
+    norms = handle.norms.join(F.broadcast(hit_shards), "shard", "left_semi")
+    return (
+        postings.groupby("shard")
+        .cogroup(norms.groupby("shard"))
+        .applyInPandas(kernel, _RESULT_SCHEMA)
+    )
+
+
 def search(
     spark: SparkSession,
     index_dir: str,
@@ -278,38 +320,22 @@ def search(
     use_wand: bool = False,
     include_meta: bool = False,
     filter_doc_ids: DataFrame | None = None,
+    handle: IndexHandle | None = None,
 ) -> DataFrame:
     """Top-k BM25. Returns DataFrame (doc_id, score [, repo/path/...])."""
-    meta = seg.read_meta(index_dir)
-    qtf = analyze_query(query_text, meta["mode"])
+    handle = handle or IndexHandle(spark, index_dir)
+    qtf = analyze_query(query_text, handle.meta["mode"])
     if not qtf:
-        empty = spark.createDataFrame([], _RESULT_SCHEMA)
-        return empty
-
-    N = meta["num_docs"]
-    avgdl = meta["avg_doc_len"] or 1.0
-    shard_size = meta["shard_size"]
-    make = _make_wand_kernel if use_wand else _make_exhaustive_kernel
-    kernel = make(dict(qtf), N, avgdl, meta["k1"], meta["b"], shard_size, k)
-
-    postings = spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS)).where(
-        F.col("term").isin(list(qtf))
-    )
-    norms = spark.read.parquet(seg.path_of(index_dir, seg.NORMS))
-    hit_shards = postings.select("shard").distinct()
-    norms = norms.join(F.broadcast(hit_shards), "shard", "left_semi")
-
-    scored = (
-        postings.groupby("shard")
-        .cogroup(norms.groupby("shard"))
-        .applyInPandas(kernel, _RESULT_SCHEMA)
-    )
+        return spark.createDataFrame([], _RESULT_SCHEMA)
     if filter_doc_ids is not None:
         # exact filter context (B4): membership only, never affects scores —
-        # but must be applied BEFORE the limit to keep top-k exact.
-        scored = search_all(spark, index_dir, query_text).join(
-            filter_doc_ids.select("doc_id"), "doc_id", "left_semi"
-        )
+        # but must be applied BEFORE the limit to keep top-k exact, so score
+        # all matches (per-shard heaps can't know the filter survivors).
+        scored = _scored_df(
+            handle, qtf, handle.meta["shard_size"], use_wand=False
+        ).join(filter_doc_ids.select("doc_id"), "doc_id", "left_semi")
+    else:
+        scored = _scored_df(handle, qtf, k, use_wand)
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if include_meta:
         dm = spark.read.parquet(seg.path_of(index_dir, seg.DOC_META))
@@ -322,26 +348,15 @@ def search(
 
 
 def search_all(
-    spark: SparkSession, index_dir: str, query_text: str
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    handle: IndexHandle | None = None,
 ) -> DataFrame:
     """Score ALL matching docs (no limit) — used for exact filtered search
-    and for oracle comparisons. Same kernels with k = num_docs."""
-    meta = seg.read_meta(index_dir)
-    qtf = analyze_query(query_text, meta["mode"])
+    and for oracle comparisons. Same kernels with k = shard_size."""
+    handle = handle or IndexHandle(spark, index_dir)
+    qtf = analyze_query(query_text, handle.meta["mode"])
     if not qtf:
         return spark.createDataFrame([], _RESULT_SCHEMA)
-    kernel = _make_exhaustive_kernel(
-        dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
-        meta["k1"], meta["b"], meta["shard_size"], meta["shard_size"],
-    )
-    postings = spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS)).where(
-        F.col("term").isin(list(qtf))
-    )
-    norms = spark.read.parquet(seg.path_of(index_dir, seg.NORMS))
-    hit_shards = postings.select("shard").distinct()
-    norms = norms.join(F.broadcast(hit_shards), "shard", "left_semi")
-    return (
-        postings.groupby("shard")
-        .cogroup(norms.groupby("shard"))
-        .applyInPandas(kernel, _RESULT_SCHEMA)
-    )
+    return _scored_df(handle, qtf, handle.meta["shard_size"], use_wand=False)

@@ -67,11 +67,16 @@ def read_meta(index_dir: str) -> dict:
 # backend/db/migrate_parsed_criteria.py:53-64).
 # ---------------------------------------------------------------------------
 
-_MANIFEST_SCHEMA = (
-    "stage string, partition_id int, status string, rows_in long, "
-    "terms_out long, sha_ok boolean, attempt int, started_at double, "
-    "finished_at double"
-)
+def _append_rows_parquet(dir_path: str, table) -> None:
+    """Driver-local single-row appends via PyArrow — a Spark write job costs
+    multiple seconds per call and the manifest is written ~10x per build.
+    (On a real cluster these become catalog-table appends.)"""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    pq.write_table(table, os.path.join(dir_path, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def manifest_append(
@@ -86,16 +91,23 @@ def manifest_append(
     attempt: int = 1,
     started_at: float | None = None,
 ) -> None:
+    import pyarrow as pa
+
     now = time.time()
-    row = [
-        (
-            stage, partition_id, status, rows_in, terms_out, sha_ok,
-            attempt, float(started_at or now), now,
-        )
-    ]
-    spark.createDataFrame(row, _MANIFEST_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(path_of(index_dir, MANIFEST))
+    table = pa.table(
+        {
+            "stage": pa.array([stage], pa.string()),
+            "partition_id": pa.array([partition_id], pa.int32()),
+            "status": pa.array([status], pa.string()),
+            "rows_in": pa.array([rows_in], pa.int64()),
+            "terms_out": pa.array([terms_out], pa.int64()),
+            "sha_ok": pa.array([sha_ok], pa.bool_()),
+            "attempt": pa.array([attempt], pa.int32()),
+            "started_at": pa.array([float(started_at or now)], pa.float64()),
+            "finished_at": pa.array([now], pa.float64()),
+        }
+    )
+    _append_rows_parquet(path_of(index_dir, MANIFEST), table)
 
 
 def manifest_read(spark: SparkSession, index_dir: str) -> DataFrame | None:
@@ -126,6 +138,14 @@ def metrics_append(
 ) -> None:
     if not rows:
         return
-    spark.createDataFrame(
-        rows, "stage string, partition_id int, metric string, value double"
-    ).coalesce(1).write.mode("append").parquet(path_of(index_dir, METRICS))
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "stage": pa.array([r[0] for r in rows], pa.string()),
+            "partition_id": pa.array([r[1] for r in rows], pa.int32()),
+            "metric": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+        }
+    )
+    _append_rows_parquet(path_of(index_dir, METRICS), table)
