@@ -281,13 +281,19 @@ class IndexHandle:
         self.meta = seg.read_meta(index_dir)
         self.postings = spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS))
         self.norms = spark.read.parquet(seg.path_of(index_dir, seg.NORMS))
+        self.warmed = False
 
     def warm(self, postings: bool = True) -> "IndexHandle":
-        self.norms = self.norms.persist()
+        """Persist both sides CO-PARTITIONED by shard: the per-query cogroup
+        then reuses the cached HashPartitioning(shard) and runs with zero
+        exchanges — the query job is scan(filter terms) -> kernel -> top-k."""
+        n = max(1, int(self.meta["n_shards"]))
+        self.norms = self.norms.repartition(n, "shard").persist()
         self.norms.count()
         if postings:
-            self.postings = self.postings.persist()
+            self.postings = self.postings.repartition(n, "shard").persist()
             self.postings.count()
+            self.warmed = True
         return self
 
     def close(self) -> None:
@@ -303,8 +309,14 @@ def _scored_df(handle: IndexHandle, qtf: dict, k: int, use_wand: bool) -> DataFr
         meta["k1"], meta["b"], meta["shard_size"], k,
     )
     postings = handle.postings.where(F.col("term").isin(list(qtf)))
-    hit_shards = postings.select("shard").distinct()
-    norms = handle.norms.join(F.broadcast(hit_shards), "shard", "left_semi")
+    if handle.warmed:
+        # norms are cached + co-partitioned: scanning non-hit shards is free
+        # and skipping the semi-join saves one broadcast job per query.
+        norms = handle.norms
+    else:
+        # cold path (cluster scale): prune norm chunks to shards with hits
+        hit_shards = postings.select("shard").distinct()
+        norms = handle.norms.join(F.broadcast(hit_shards), "shard", "left_semi")
     return (
         postings.groupby("shard")
         .cogroup(norms.groupby("shard"))
