@@ -132,19 +132,23 @@ def _make_doc_len_col(mode: str):
     return _dl(F.col("content"))
 
 
-def make_tokenize_pairs_kernel(mode: str):
+def make_tokenize_pairs_kernel(mode: str, emit_doc_len: bool = False):
     """mapInPandas kernel: (doc_id, content) batches -> flat
-    (doc_id, term, tf) rows, tf counted in-kernel, terms sorted per doc."""
+    (doc_id, term, tf) rows, tf counted in-kernel, terms sorted per doc.
+
+    With ``emit_doc_len`` each doc additionally yields ONE sentinel row
+    ``(doc_id, term=NULL, tf=doc_len)`` — doc lengths then ride out of the
+    single tokenize pass for free instead of needing a groupBy(doc_id)
+    shuffle over every (doc, term) pair (A7/A8, SURVEY.md §2.4)."""
 
     def kernel(batches):
         for pdf in batches:
-            pairs, _lens = analyze_batch(pdf["content"], mode)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            pairs, lens = analyze_batch(pdf["content"], mode)
             counts = [len(p) for p in pairs]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
-                    "doc_id": np.repeat(
-                        pdf["doc_id"].to_numpy(dtype=np.int64), counts
-                    ),
+                    "doc_id": np.repeat(doc_ids, counts),
                     "term": list(
                         itertools.chain.from_iterable(
                             (t for t, _ in p) for p in pairs
@@ -159,6 +163,16 @@ def make_tokenize_pairs_kernel(mode: str):
                     ),
                 }
             )
+            if emit_doc_len:
+                sentinels = pd.DataFrame(
+                    {
+                        "doc_id": doc_ids,
+                        "term": pd.array([None] * len(doc_ids), dtype=object),
+                        "tf": np.asarray(lens, dtype=np.int32),
+                    }
+                )
+                out = pd.concat([out, sentinels], ignore_index=True)
+            yield out
 
     return kernel
 
@@ -268,7 +282,23 @@ def build_index(
     verify_sha: bool = True,
     persist_input: bool = True,
 ) -> dict:
-    """Build (or resume) the full index. Returns build metrics dict."""
+    """Build (or resume) the full index. Returns build metrics dict.
+
+    Pass structure (minimal — each pass over the corpus is a real cost at
+    10^12 docs):
+      1. range shuffle for doc_id assignment (+ range-sampling scan),
+      2. ONE tokenize pass (mapInPandas, persisted): flat (doc_id, term, tf)
+         pairs + a per-doc NULL-term sentinel carrying doc_len — doc lengths
+         never need their own shuffle,
+      3. term_stats: map-side-combined groupBy(term) over the cached pairs
+         (exact global df/cf; also drives the hot-term salt plan),
+      4. doc_meta scan: metadata + sha256 invariant column computed in the
+         same projection (no separate verification pass); doc_len joined
+         from the sentinel rows (tiny join, no content),
+      5. the big shuffle: salted (shard, term_bucket, salt) encode,
+      6. postings written in a SINGLE job, dynamic-overwriting only the
+         resume groups still todo (group=g/shard=k layout unchanged).
+    """
     t0 = time.time()
     stage_sec: dict[str, float] = {}
 
@@ -282,85 +312,27 @@ def build_index(
     if persist_input:
         corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # -- invariant: content sha256 must equal the source column (input_hint) --
-    sha_ok = True
-    if verify_sha and "content_sha256" in corpus.columns:
-        if ("verify_sha", 0) not in done:
-            start = time.time()
-            mismatches = corpus.where(
-                F.sha2(F.col("content"), 256) != F.col("content_sha256")
-            ).count()
-            sha_ok = mismatches == 0
-            seg.manifest_append(
-                spark, index_dir, "verify_sha", 0,
-                "done" if sha_ok else "failed",
-                rows_in=mismatches, sha_ok=sha_ok, started_at=start,
-            )
-            if not sha_ok:
-                raise ValueError(
-                    f"content_sha256 invariant violated for {mismatches} rows"
-                )
-    t_cur = _tick("verify_sha", t_cur)
+    has_sha = verify_sha and "content_sha256" in corpus.columns
 
     docs = assign_doc_ids(corpus)  # persisted inside
     t_cur = _tick("assign_doc_ids", t_cur)
 
-    # -- flat (doc_id, term, tf) pairs --
-    pairs = (
+    # -- ONE tokenize pass: pairs + doc_len sentinels, persisted ------------
+    kernel_schema = "doc_id long, term string, tf int"
+    tokenized = (
         docs.select("doc_id", "content")
         .mapInPandas(
-            make_tokenize_pairs_kernel(mode), "doc_id long, term string, tf int"
+            make_tokenize_pairs_kernel(mode, emit_doc_len=True), kernel_schema
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    t_cur = _tick("pairs_plan", t_cur)
-
-    # -- doc_meta (doc_len = sum tf; 0 for token-less docs) + stats --
-    meta_cols = ["doc_id", "repo", "path", "commit", "lang"] + (
-        ["content_sha256"] if "content_sha256" in corpus.columns else []
+    pairs = tokenized.where(F.col("term").isNotNull())
+    doc_len_df = tokenized.where(F.col("term").isNull()).select(
+        "doc_id", F.col("tf").alias("doc_len")
     )
-    if ("doc_meta", 0) not in done:
-        start = time.time()
-        doc_len = pairs.groupBy("doc_id").agg(
-            F.sum("tf").cast("int").alias("doc_len")
-        )
-        (
-            docs.select(*meta_cols)
-            .join(doc_len, "doc_id", "left")
-            .withColumn("doc_len", F.coalesce("doc_len", F.lit(0)))
-            .write.mode("overwrite")
-            .parquet(seg.path_of(index_dir, seg.DOC_META))
-        )
-        seg.manifest_append(
-            spark, index_dir, "doc_meta", 0, "done", started_at=start
-        )
-    t_cur = _tick("doc_meta", t_cur)
-    stats_row = (
-        spark.read.parquet(seg.path_of(index_dir, seg.DOC_META))
-        .agg(
-            F.count("*").alias("num_docs"),
-            F.avg("doc_len").alias("avg_doc_len"),
-            F.sum("doc_len").alias("total_terms"),
-        )
-        .collect()[0]
-    )
-    num_docs = stats_row["num_docs"]
-    if ("stats", 0) not in done:
-        start = time.time()
-        spark.createDataFrame(
-            [stats_row.asDict()],
-            "num_docs long, avg_doc_len double, total_terms long",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            seg.path_of(index_dir, seg.STATS)
-        )
-        seg.manifest_append(
-            spark, index_dir, "stats", 0, "done",
-            rows_in=num_docs, started_at=start,
-        )
 
-    t_cur = _tick("stats", t_cur)
-
-    # -- GLOBAL term stats (exact df/cf; map-side combine kills skew) --
+    # -- GLOBAL term stats (exact df/cf; map-side combine kills skew) -------
+    # This materializes the tokenize persist.
     if ("term_stats", 0) not in done:
         start = time.time()
         pairs.groupBy("term").agg(
@@ -372,104 +344,177 @@ def build_index(
     term_stats = spark.read.parquet(seg.path_of(index_dir, seg.TERM_STATS))
     t_cur = _tick("term_stats", t_cur)
 
-    # -- hot-term salt plan (explicit + logged, SURVEY.md §4.2) --
-    hot_rows = (
-        term_stats.where(F.col("df") > hot_df_threshold)
-        .select(
-            "term",
-            F.least(
-                F.lit(max_salts),
-                F.ceil(F.col("df") / F.lit(hot_df_threshold)).cast("int"),
-            ).alias("n_salts"),
+    # -- doc_meta: metadata + sha256 invariant in one scan; doc_len joined
+    # from the cached sentinel rows (no content, no pair-level shuffle) ----
+    meta_cols = ["doc_id", "repo", "path", "commit", "lang"] + (
+        ["content_sha256"] if "content_sha256" in corpus.columns else []
+    )
+    if ("doc_meta", 0) not in done:
+        start = time.time()
+        dm = docs.select(
+            *meta_cols,
+            (
+                (F.sha2(F.col("content"), 256) == F.col("content_sha256"))
+                if has_sha
+                else F.lit(True)
+            ).alias("sha_ok"),
+        ).join(doc_len_df, "doc_id", "left").withColumn(
+            "doc_len", F.coalesce("doc_len", F.lit(0))
         )
-        .collect()
-    )
-    hot_terms = [r["term"] for r in hot_rows]
-    hot_df = spark.createDataFrame(
-        [(r["term"], r["n_salts"]) for r in hot_rows] or [("", 1)],
-        "term string, n_salts int",
-    )
-    seg.metrics_append(
-        spark, index_dir, [("salt_plan", 0, "hot_terms", float(len(hot_rows)))]
-    )
+        dm.write.mode("overwrite").parquet(seg.path_of(index_dir, seg.DOC_META))
+        seg.manifest_append(
+            spark, index_dir, "doc_meta", 0, "done", started_at=start
+        )
+    t_cur = _tick("doc_meta", t_cur)
 
-    t_cur = _tick("salt_plan", t_cur)
+    # -- stats + sha verification in ONE tiny agg over doc_meta --
+    stats_row = (
+        spark.read.parquet(seg.path_of(index_dir, seg.DOC_META))
+        .agg(
+            F.count("*").alias("num_docs"),
+            F.avg("doc_len").alias("avg_doc_len"),
+            F.sum("doc_len").alias("total_terms"),
+            F.sum(F.when(F.col("sha_ok"), 0).otherwise(1)).alias("mismatches"),
+        )
+        .collect()[0]
+    )
+    num_docs = stats_row["num_docs"]
+    if has_sha and ("verify_sha", 0) not in done:
+        start = time.time()
+        mismatches = int(stats_row["mismatches"] or 0)
+        seg.manifest_append(
+            spark, index_dir, "verify_sha", 0,
+            "done" if mismatches == 0 else "failed",
+            rows_in=mismatches, sha_ok=mismatches == 0, started_at=start,
+        )
+        if mismatches:
+            raise ValueError(
+                f"content_sha256 invariant violated for {mismatches} rows"
+            )
+    if ("stats", 0) not in done:
+        start = time.time()
+        spark.createDataFrame(
+            [
+                {
+                    "num_docs": num_docs,
+                    "avg_doc_len": stats_row["avg_doc_len"],
+                    "total_terms": stats_row["total_terms"],
+                }
+            ],
+            "num_docs long, avg_doc_len double, total_terms long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            seg.path_of(index_dir, seg.STATS)
+        )
+        seg.manifest_append(
+            spark, index_dir, "stats", 0, "done",
+            rows_in=num_docs, started_at=start,
+        )
+    t_cur = _tick("stats_verify", t_cur)
 
-    # -- salted encode shuffle over (shard, term_bucket, salt) groups --
     n_shards = max(1, math.ceil(num_docs / shard_size))
+    n_groups = max(1, min(n_resume_groups, n_shards))
+    todo = [g for g in range(n_groups) if ("postings", g) not in done]
     term_buckets = term_buckets or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    salted = (
-        pairs.join(F.broadcast(hot_df), "term", "left")
-        .withColumn("n_salts", F.coalesce("n_salts", F.lit(1)))
-        .withColumn("shard", (F.col("doc_id") / shard_size).cast("int"))
-        .withColumn(
-            "salt",
-            (
-                (F.col("doc_id") % shard_size) * F.col("n_salts") / shard_size
-            ).cast("int"),
-        )
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
-    )
-    enc_schema = (
-        "shard int, term string, salt int, df_part long, cf_part long, "
-        "n_blocks int, postings binary"
-    )
-    encoded = salted.groupBy("shard", "bucket", "salt").applyInPandas(
-        _encode_bucket_group, enc_schema
-    )
-    merge_schema = "shard int, term string, n_blocks int, postings binary"
-    if hot_terms:
-        cold = encoded.where(~F.col("term").isin(hot_terms)).select(
-            "shard", "term", "n_blocks", "postings"
-        )
-        hot_merged = (
-            encoded.where(F.col("term").isin(hot_terms))
-            .groupBy("shard", "term")
-            .applyInPandas(_merge_group, merge_schema)
-        )
-        merged = cold.unionByName(hot_merged)
-    else:
-        merged = encoded.select("shard", "term", "n_blocks", "postings")
-    final = (
-        merged.join(term_stats, "term")
-        .select("shard", "term", "df", "cf", "n_blocks", "postings")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
 
-    t_cur = _tick("encode_plan", t_cur)
-
-    # -- postings written per shard-group (resume granularity) --
-    n_groups = max(1, min(n_resume_groups, n_shards))
-    todo = [g for g in range(n_groups) if ("postings", g) not in done]
-    group_counts: dict[int, int] = {}
     if todo:
-        group_counts = {
-            r["g"]: r["n"]
-            for r in final.groupBy(
-                (F.col("shard") % n_groups).alias("g")
-            ).agg(F.count("*").alias("n")).collect()
-        }
-    for g in todo:
-        start = time.time()
-        (
-            final.where(F.col("shard") % n_groups == g)
-            .repartition("shard")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(seg.path_of(index_dir, seg.POSTINGS) + f"/group={g}")
+        # -- hot-term salt plan (explicit + logged, SURVEY.md §4.2) from the
+        # exact global term stats --
+        hot_rows = (
+            term_stats.where(F.col("df") > hot_df_threshold)
+            .select(
+                "term",
+                F.least(
+                    F.lit(max_salts),
+                    F.ceil(F.col("df") / F.lit(hot_df_threshold)).cast("int"),
+                ).alias("n_salts"),
+            )
+            .collect()
         )
-        n_terms = int(group_counts.get(g, 0))
-        seg.manifest_append(
-            spark, index_dir, "postings", g, "done",
-            terms_out=n_terms, started_at=start,
+        hot_terms = [r["term"] for r in hot_rows]
+        hot_df = spark.createDataFrame(
+            [(r["term"], r["n_salts"]) for r in hot_rows] or [("", 1)],
+            "term string, n_salts int",
         )
         seg.metrics_append(
-            spark, index_dir, [("postings", g, "rows", float(n_terms))]
+            spark, index_dir,
+            [("salt_plan", 0, "hot_terms", float(len(hot_rows)))],
         )
-    final.unpersist()
+        t_cur = _tick("salt_plan", t_cur)
+
+        # -- THE shuffle: cached pairs -> salted (shard, term_bucket, salt)
+        # encode --
+        salted = (
+            pairs.join(F.broadcast(hot_df), "term", "left")
+            .withColumn("n_salts", F.coalesce("n_salts", F.lit(1)))
+            .withColumn("shard", (F.col("doc_id") / shard_size).cast("int"))
+            .withColumn(
+                "salt",
+                (
+                    (F.col("doc_id") % shard_size) * F.col("n_salts") / shard_size
+                ).cast("int"),
+            )
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
+        )
+        enc_schema = (
+            "shard int, term string, salt int, df_part long, cf_part long, "
+            "n_blocks int, postings binary"
+        )
+        encoded = (
+            salted.groupBy("shard", "bucket", "salt")
+            .applyInPandas(_encode_bucket_group, enc_schema)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        merge_schema = "shard int, term string, n_blocks int, postings binary"
+        if hot_terms:
+            cold = encoded.where(~F.col("term").isin(hot_terms)).select(
+                "shard", "term", "n_blocks", "postings"
+            )
+            hot_merged = (
+                encoded.where(F.col("term").isin(hot_terms))
+                .groupBy("shard", "term")
+                .applyInPandas(_merge_group, merge_schema)
+            )
+            merged = cold.unionByName(hot_merged)
+        else:
+            merged = encoded.select("shard", "term", "n_blocks", "postings")
+        final = (
+            merged.join(term_stats, "term")
+            .select("shard", "term", "df", "cf", "n_blocks", "postings")
+            .withColumn("group", F.col("shard") % n_groups)
+        )
+        t_cur = _tick("encode_plan", t_cur)
+
+        # -- postings: ONE write job, dynamic-overwriting only todo groups
+        # (resume granularity preserved: layout is group=g/shard=k) --
+        start = time.time()
+        pending = final.where(F.col("group").isin(todo))
+        group_counts = {
+            r["group"]: r["n"]
+            for r in pending.groupBy("group")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        (
+            pending.repartition("shard")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("group", "shard")
+            .parquet(seg.path_of(index_dir, seg.POSTINGS))
+        )
+        for g in todo:
+            n_terms = int(group_counts.get(g, 0))
+            seg.manifest_append(
+                spark, index_dir, "postings", g, "done",
+                terms_out=n_terms, started_at=start,
+            )
+            seg.metrics_append(
+                spark, index_dir, [("postings", g, "rows", float(n_terms))]
+            )
+        encoded.unpersist()
     t_cur = _tick("postings_write", t_cur)
 
     # -- norms (doc_len arrays per shard chunk) --
@@ -493,7 +538,7 @@ def build_index(
         seg.manifest_append(spark, index_dir, "norms", 0, "done", started_at=start)
 
     t_cur = _tick("norms", t_cur)
-    pairs.unpersist()
+    tokenized.unpersist()
     docs._ctse_persisted.unpersist()
     if persist_input:
         corpus.unpersist()
