@@ -445,6 +445,44 @@ def _q_ann_cosine_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, [float(x) for x in qvec], k=10, n_planes=10)
 
 
+def _q_match_all_terms(spark, sf_dir):
+    # F5: `match` with operator:and — ALL query tokens must appear in the
+    # analyzed text (reference: backend/api/main.py:242-252). Expressed as
+    # token-set containment; in the segment engine this is an AND-mode
+    # posting-list intersection.
+    d = _t(spark, sf_dir, "documents")
+    toks = "array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+    return d.where(
+        F.expr(
+            f"size(array_intersect({toks}, array('merge','join','filter'))) = 3"
+        )
+    ).select("doc_id")
+
+
+_MULTIFIELDS = [("substring(text, 1, 120)", 3.0), ("text", 1.0)]
+
+
+def _q_bm25_multifield(spark, sf_dir):
+    # B2: multi_match best_fields with boosts (title^3-style dis_max)
+    from clinical_trial_searchengine_spark.plans.dataframe_bm25 import (
+        bm25_multifield_topk,
+    )
+
+    return bm25_multifield_topk(
+        _t(spark, sf_dir, "documents"), _Q_TERMS, _MULTIFIELDS, k=10
+    )
+
+
+def _q_embedding_cosine_dups(spark, sf_dir):
+    from clinical_trial_searchengine_spark.operators.dedup import (
+        embedding_cosine_duplicates,
+    )
+
+    return embedding_cosine_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     # binary-column plumbing with stubbed decode (container lacks codecs)
     from clinical_trial_searchengine_spark.operators.multimodal import (
@@ -492,6 +530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_knn_join": _q_ann_knn_join,
         "ann_cosine_lsh": _q_ann_cosine_lsh,
+        "match_all_terms": _q_match_all_terms,
+        "bm25_multifield": _q_bm25_multifield,
+        "embedding_cosine_dups": _q_embedding_cosine_dups,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -727,6 +768,25 @@ SELECT query_id, vec_id, cosine, rank FROM (
                                ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM s
 ) WHERE rank <= 5
+"""
+    from clinical_trial_searchengine_spark.plans.dataframe_bm25 import (
+        bm25_multifield_oracle_sql,
+    )
+
+    sqls["match_all_terms"] = f"""
+SELECT doc_id FROM documents
+WHERE len(list_intersect(list_distinct({_TOK}),
+                         ['merge', 'join', 'filter'])) = 3
+"""
+    sqls["bm25_multifield"] = bm25_multifield_oracle_sql(
+        _Q_TERMS, _MULTIFIELDS, k=10
+    )
+    sqls["embedding_cosine_dups"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.5
 """
     # no oracle (rows-only driver check): simhash_pairs (md5 bit math not
     # SQL-practical), ann_cosine_lsh (probabilistic recall),

@@ -264,6 +264,82 @@ def analyze_batch(
     return pairs_out, lens_out
 
 
+_STEM_CACHE: dict[str, str] = {}
+
+
+def analyze_flat(texts: pd.Series, mode: str = "standard"):
+    """Whole-batch flat analyzer: no per-document Python loop.
+
+    Returns ``(doc_idx, term_strings, tfs, doc_lens)`` where the first three
+    are parallel arrays of per-(doc, distinct-term) rows, term-sorted within
+    each doc, and ``doc_lens`` is the per-input-row POST-filter token count.
+    Semantically identical to :func:`analyze_batch` (property: same
+    (term, tf) pairs in the same order) but vectorized end-to-end:
+    one factorize over the batch's token stream, one int lexsort, one
+    run-length encode — this is the hot path of the index build.
+    """
+    import itertools
+
+    import numpy as np
+
+    if mode not in ("standard", "porter"):
+        raise ValueError(f"unknown analyzer mode: {mode}")
+    token_lists = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+    counts = np.fromiter(
+        (len(t) for t in token_lists), dtype=np.int64, count=len(token_lists)
+    )
+    doc_idx = np.repeat(np.arange(len(token_lists), dtype=np.int64), counts)
+    flat = list(itertools.chain.from_iterable(token_lists))
+    if not flat:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.asarray([], dtype=object), z, np.zeros(len(texts), np.int64)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+
+    if mode == "porter":
+        mapped = []
+        for t in uniques:
+            if t in STOPWORDS:
+                mapped.append(None)
+                continue
+            s = _STEM_CACHE.get(t)
+            if s is None:
+                s = porter_stem(t)
+                _STEM_CACHE[t] = s
+            mapped.append(s)
+        keep_unique = np.asarray([m is not None for m in mapped])
+        keep = keep_unique[codes]
+        codes, doc_idx = codes[keep], doc_idx[keep]
+        stems = np.asarray(
+            [m if m is not None else "" for m in mapped], dtype=object
+        )
+        # re-factorize over stems so distinct tokens sharing a root merge
+        stem_codes, stem_uniques = pd.factorize(stems[codes])
+        codes, uniques = stem_codes, stem_uniques
+
+    # term-sorted order within doc == oracle's sorted(Counter(...)) order
+    sorter = np.argsort(uniques.astype("U"), kind="stable")
+    rank = np.empty(len(uniques), dtype=np.int64)
+    rank[sorter] = np.arange(len(uniques))
+    ranked = rank[codes]
+    order = np.lexsort((ranked, doc_idx))
+    doc_idx, ranked = doc_idx[order], ranked[order]
+    # run-length encode (doc_idx, ranked) pairs -> tf
+    if len(doc_idx):
+        new = np.concatenate(
+            ([True], (doc_idx[1:] != doc_idx[:-1]) | (ranked[1:] != ranked[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        tfs = np.diff(np.concatenate((starts, [len(doc_idx)])))
+        out_doc = doc_idx[starts]
+        out_terms = np.asarray(uniques, dtype=object)[sorter][ranked[starts]]
+    else:
+        out_doc = np.zeros(0, dtype=np.int64)
+        out_terms = np.asarray([], dtype=object)
+        tfs = np.zeros(0, dtype=np.int64)
+    doc_lens = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
+    return out_doc, out_terms, tfs, doc_lens
+
+
 _ANALYZE_SCHEMA = StructType(
     [
         StructField(

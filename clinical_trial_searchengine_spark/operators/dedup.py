@@ -313,3 +313,60 @@ def simhash_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine(vec_a, vec_b) >= threshold —
+    exact, one scan of the table.
+
+    The full L2-normalized matrix is broadcast to every partition, which
+    then emits its local rows' qualifying pairs from one numpy matmul —
+    no crossJoin row explosion, no shuffle before the (tiny) result.
+    Broadcasting the matrix caps this at ~10M vectors; above that,
+    pre-bucket with :func:`clinical_trial_searchengine_spark.operators.\
+similarity.hyperplane_bucket_udf` and run this exact kernel per bucket
+    (same join-then-verify shape as MinHash+LSH).
+    """
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids_all = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    M = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    b_ids = spark.sparkContext.broadcast(ids_all)
+    b_m = spark.sparkContext.broadcast(M)
+
+    def part(batches):
+        ids_g, M_g = b_ids.value, b_m.value
+        order = np.argsort(ids_g)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            S = V @ M_g[order].T  # local x global
+            gids = ids_g[order]
+            li, gj = np.nonzero(S >= threshold)
+            keep = ids[li] < gids[gj]  # dedupe + drop self-pairs
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[li][keep],
+                    "id_b": gids[gj][keep],
+                    "cosine": np.round(S[li, gj][keep], round_to),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        part, "id_a long, id_b long, cosine double"
+    )

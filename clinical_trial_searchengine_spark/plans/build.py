@@ -50,7 +50,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from clinical_trial_searchengine_spark.functions.analysis import analyze_batch
+from clinical_trial_searchengine_spark.functions.analysis import (
+    analyze_batch,
+    analyze_flat,
+)
 from clinical_trial_searchengine_spark.functions.codec import encode_postings
 from clinical_trial_searchengine_spark.plans import segments as seg
 
@@ -144,23 +147,12 @@ def make_tokenize_pairs_kernel(mode: str, emit_doc_len: bool = False):
     def kernel(batches):
         for pdf in batches:
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            pairs, lens = analyze_batch(pdf["content"], mode)
-            counts = [len(p) for p in pairs]
+            row_idx, terms, tfs, lens = analyze_flat(pdf["content"], mode)
             out = pd.DataFrame(
                 {
-                    "doc_id": np.repeat(doc_ids, counts),
-                    "term": list(
-                        itertools.chain.from_iterable(
-                            (t for t, _ in p) for p in pairs
-                        )
-                    ),
-                    "tf": np.fromiter(
-                        itertools.chain.from_iterable(
-                            (c for _, c in p) for p in pairs
-                        ),
-                        dtype=np.int32,
-                        count=int(sum(counts)),
-                    ),
+                    "doc_id": doc_ids[row_idx],
+                    "term": terms,
+                    "tf": tfs.astype(np.int32),
                 }
             )
             if emit_doc_len:
@@ -168,7 +160,7 @@ def make_tokenize_pairs_kernel(mode: str, emit_doc_len: bool = False):
                     {
                         "doc_id": doc_ids,
                         "term": pd.array([None] * len(doc_ids), dtype=object),
-                        "tf": np.asarray(lens, dtype=np.int32),
+                        "tf": lens.astype(np.int32),
                     }
                 )
                 out = pd.concat([out, sentinels], ignore_index=True)
@@ -180,21 +172,26 @@ def make_tokenize_pairs_kernel(mode: str, emit_doc_len: bool = False):
 def _encode_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Encode every term inside one (shard, term_bucket, salt) group.
 
-    Sort once by (term, doc_id), then slice per term — NumPy throughout."""
+    Sort once by (term, doc_id), then slice per term — NumPy throughout.
+    Terms are factorized to int codes first: lexsort on two int arrays is
+    several times cheaper (and far lighter on memory bandwidth) than a
+    pandas string sort, which matters when many workers share one socket."""
     shard = int(pdf["shard"].iloc[0])
     salt = int(pdf["salt"].iloc[0])
-    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-    terms = pdf["term"].to_numpy()
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
-    tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-    # term boundaries on the sorted column
-    change = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
-    bounds = np.concatenate((change, [len(terms)]))
+    codes, uniques = pd.factorize(pdf["term"], sort=True)
+    order = np.lexsort((pdf["doc_id"].to_numpy(), codes))
+    codes = codes[order]
+    terms = uniques.to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)[order]
+    tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
+    # term boundaries on the sorted code column
+    change = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+    bounds = np.concatenate((change, [len(codes)]))
     out_terms, out_df, out_cf, out_nb, out_post = [], [], [], [], []
     for i in range(len(change)):
         lo, hi = bounds[i], bounds[i + 1]
         buf, n_blocks = encode_postings(doc_ids[lo:hi], tfs[lo:hi])
-        out_terms.append(terms[lo])
+        out_terms.append(terms[codes[lo]])
         out_df.append(hi - lo)
         out_cf.append(int(tfs[lo:hi].sum()))
         out_nb.append(n_blocks)

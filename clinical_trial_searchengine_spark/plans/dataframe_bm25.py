@@ -157,3 +157,94 @@ SELECT doc_id, score FROM boosted
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_multifield_topk(
+    docs: DataFrame,
+    query_terms: dict[str, float],
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """B2: `multi_match best_fields` with field boosts (dis_max,
+    tie_breaker=0): per field compute full BM25 with that FIELD's own
+    df/dl/avgdl stats (Lucene semantics), multiply by the boost, and take
+    the per-doc MAX across fields (reference: backend/api/main.py:213-232,
+    boosts at :216-225).
+
+    ``fields``: [(sql_expr_deriving_field_text, boost), ...].
+    """
+    scored = None
+    for i, (expr, boost) in enumerate(fields):
+        d = docs.select(
+            F.col(id_col).alias("doc_id"), F.expr(expr).alias("_ftext")
+        )
+        s = bm25_score_all(d, query_terms, text_col="_ftext").select(
+            "doc_id", (F.col("score") * F.lit(float(boost))).alias(f"_s{i}")
+        )
+        scored = s if scored is None else scored.join(s, "doc_id", "full")
+    best = F.greatest(
+        *[F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(fields))]
+    )
+    return (
+        scored.withColumn("score", F.round(best, round_to))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_multifield_oracle_sql(
+    query_terms: dict[str, float],
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`bm25_multifield_topk` (same per-field stats,
+    same dis_max)."""
+    values = ", ".join(
+        f"('{t}', {float(w)!r})" for t, w in sorted(query_terms.items())
+    )
+    ctes = [f"q(term, qtf) AS (VALUES {values})"]
+    score_cols = []
+    for i, (expr, boost) in enumerate(fields):
+        ctes.append(f"""
+tok{i} AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({expr}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf{i} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok{i} GROUP BY 1, 2),
+dl{i} AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok{i} GROUP BY 1),
+stats{i} AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl{i}),
+dfreq{i} AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf{i}
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+scored{i} AS (
+  SELECT tf.doc_id,
+         {float(boost)!r} * sum(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS s{i}
+  FROM tf{i} tf
+  JOIN q USING (term)
+  JOIN dfreq{i} d USING (term)
+  JOIN dl{i} dl USING (doc_id)
+  CROSS JOIN stats{i} s
+  GROUP BY 1
+)""")
+        score_cols.append(f"coalesce(s{i}, 0)")
+    joins = "scored0 s0"
+    for i in range(1, len(fields)):
+        joins += f" FULL JOIN scored{i} s{i} USING (doc_id)"
+    return f"""
+WITH {', '.join(ctes)}
+SELECT doc_id, round(greatest({', '.join(score_cols)}), {round_to}) AS score
+FROM {joins}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

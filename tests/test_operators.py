@@ -1,0 +1,111 @@
+"""Operator-level oracle tests (DuckDB as the single-node referee) for the
+pipeline operators that aren't covered by the BM25 rank-identity suite."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if "float" in str(df[c].dtype):
+            df[c] = df[c].astype("float64").round(6)
+        elif "int" in str(df[c].dtype):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_bm25_multifield_matches_oracle(docs):
+    from clinical_trial_searchengine_spark.plans.dataframe_bm25 import (
+        bm25_multifield_oracle_sql,
+        bm25_multifield_topk,
+    )
+
+    terms = {"merge": 1.0, "join": 1.0}
+    fields = [("substring(text, 1, 120)", 3.0), ("text", 1.0)]
+    got = _norm(bm25_multifield_topk(docs, terms, fields, k=10).toPandas())
+    exp = _norm(_duck(bm25_multifield_oracle_sql(terms, fields, k=10)))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bm25_multifield_beats_single_field_for_prefix_hits(docs):
+    """A doc whose match sits in the boosted prefix field must outrank an
+    identical-tf body-only match (dis_max semantics)."""
+    from clinical_trial_searchengine_spark.plans.dataframe_bm25 import (
+        bm25_multifield_topk,
+        bm25_topk,
+    )
+
+    terms = {"merge": 1.0}
+    fields = [("substring(text, 1, 120)", 3.0), ("text", 1.0)]
+    multi = bm25_multifield_topk(docs, terms, fields, k=5).toPandas()
+    single = bm25_topk(docs, terms, k=5).toPandas()
+    assert multi["score"].iloc[0] > single["score"].iloc[0]
+
+
+def test_embedding_cosine_duplicates_matches_oracle(emb):
+    from clinical_trial_searchengine_spark.operators.dedup import (
+        embedding_cosine_duplicates,
+    )
+
+    got = _norm(embedding_cosine_duplicates(emb, threshold=0.5).toPandas())
+    exp = _norm(
+        _duck(
+            """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+            """
+        )
+    )
+    assert len(got) >= 1
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_embedding_cosine_duplicates_self_consistent(spark):
+    """Duplicated vectors must pair with cosine 1.0, distinct orthogonals
+    must not pair."""
+    from clinical_trial_searchengine_spark.operators.dedup import (
+        embedding_cosine_duplicates,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),     # dup of 1
+        (3, [0.0, 1.0, 0.0]),     # orthogonal
+        (4, [0.9, 0.1, 0.0]),     # near-dup of 1/2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_duplicates(df, threshold=0.95).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) in got and (2, 4) in got
+    assert all((3 not in p) for p in got)
