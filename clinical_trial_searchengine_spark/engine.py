@@ -12,6 +12,7 @@ from clinical_trial_searchengine_spark.plans.query import (
     IndexHandle,
     search,
     search_all,
+    search_many,
 )
 from clinical_trial_searchengine_spark.plans.segments import read_meta
 
@@ -49,6 +50,13 @@ class SearchEngine:
     def search_all(self, query_text: str) -> DataFrame:
         return search_all(
             self.spark, self.index_dir, query_text, handle=self.handle()
+        )
+
+    def search_many(self, query_texts: dict[str, str], k: int = 10) -> DataFrame:
+        """Batch top-k for a query SET in one distributed job — the eval
+        shape (reference: backend/evaluation/evaluation_pipeline.py)."""
+        return search_many(
+            self.spark, self.index_dir, query_texts, k, handle=self.handle()
         )
 
     def search_topk_rows(self, query_text: str, k: int = 10, **kwargs):

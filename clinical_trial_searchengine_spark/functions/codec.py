@@ -208,3 +208,103 @@ def decode_block(
     vals = varint_decode(memoryview(buf)[o : o + int(nbytes[block_idx])])
     doc_ids = firsts[block_idx] + np.cumsum(vals[:bs])
     return doc_ids, vals[bs : 2 * bs].astype(np.int64)
+
+
+def encode_postings_group(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    bounds: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[list[bytes], np.ndarray]:
+    """Encode MANY terms' posting lists in one vectorized pass.
+
+    ``doc_ids``/``tfs`` are the concatenation of all terms' (sorted) postings;
+    ``bounds`` (int64, len T+1) marks each term's [start, end) row range.
+    Returns (list of per-term wire bytes, n_blocks int64[T]).
+
+    Byte-identical to calling :func:`encode_postings` per term (the wire
+    format is one self-delimiting varint stream, so the whole group's values
+    can be laid out in a single array and varint-encoded once).  This kills
+    the per-term Python/numpy-small-array overhead, which dominates encode
+    time on corpora with huge vocabularies (every doc contributes unique
+    identifiers, so most posting lists are a single short block).
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    T = len(bounds) - 1
+    n = doc_ids.size
+    if n == 0:
+        return [], np.zeros(0, dtype=np.int64)
+    n_t = np.diff(bounds)                       # postings per term
+    assert (n_t > 0).all(), "empty term range"
+    B_t = (n_t + block_size - 1) // block_size  # blocks per term
+
+    # per-row positions
+    term_of_row = np.repeat(np.arange(T), n_t)
+    pos_in_term = np.arange(n) - np.repeat(bounds[:-1], n_t)
+    b_in_term = pos_in_term // block_size
+    pos_in_block = pos_in_term - b_in_term * block_size
+
+    # block structure
+    is_block_start = pos_in_block == 0
+    block_start_rows = np.flatnonzero(is_block_start)
+    n_blocks_total = block_start_rows.size
+    term_of_block = term_of_row[block_start_rows]
+    b_idx_in_term = b_in_term[block_start_rows]
+    firsts = doc_ids[block_start_rows]
+    # first_deltas: absolute for a term's block 0, delta across blocks after
+    first_deltas = firsts.copy()
+    not_first = b_idx_in_term > 0
+    first_deltas[not_first] = (
+        firsts[not_first] - firsts[np.flatnonzero(not_first) - 1]
+    )
+    seg_ends = np.append(block_start_rows[1:], n)
+    max_tfs = np.maximum.reduceat(tfs, block_start_rows)
+    rows_in_block = seg_ends - block_start_rows
+
+    # within-block gaps
+    gaps = np.zeros(n, dtype=np.uint64)
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[block_start_rows] = 0
+
+    # payload byte size per block (needed in the directory BEFORE payloads)
+    nb_payload_row = _varint_nbytes(gaps) + _varint_nbytes(tfs)
+    payload_nbytes = np.add.reduceat(nb_payload_row, block_start_rows)
+
+    # ---- assemble the global value array -----------------------------------
+    vals_per_term = 3 + 3 * B_t + 2 * n_t
+    term_off = np.concatenate(([0], np.cumsum(vals_per_term)))
+    total_vals = int(term_off[-1])
+    vals = np.empty(total_vals, dtype=np.uint64)
+    # headers
+    vals[term_off[:-1]] = _VERSION
+    vals[term_off[:-1] + 1] = n_t.astype(np.uint64)
+    vals[term_off[:-1] + 2] = B_t.astype(np.uint64)
+    # directory (interleaved triples per block)
+    dir_pos = term_off[term_of_block] + 3 + 3 * b_idx_in_term
+    vals[dir_pos] = first_deltas
+    vals[dir_pos + 1] = max_tfs
+    vals[dir_pos + 2] = payload_nbytes.astype(np.uint64)
+    # payloads: per block, gaps then tfs
+    # byte/value base of each block's payload inside its term
+    payload_base_block = (
+        term_off[term_of_block] + 3 + 3 * B_t[term_of_block]
+        + 2 * (b_idx_in_term * block_size)
+    )
+    base_of_row = payload_base_block[np.cumsum(is_block_start) - 1]
+    bs_of_row = rows_in_block[np.cumsum(is_block_start) - 1]
+    gap_slots = base_of_row + pos_in_block
+    tf_slots = base_of_row + bs_of_row + pos_in_block
+    vals[gap_slots] = gaps
+    vals[tf_slots] = tfs
+
+    # ---- one varint pass + per-term byte slicing ---------------------------
+    blob = varint_encode(vals)
+    nb_vals = _varint_nbytes(vals)
+    byte_off = np.concatenate(([0], np.cumsum(nb_vals)))
+    term_byte_start = byte_off[term_off[:-1]]
+    term_byte_end = byte_off[term_off[1:]]
+    mv = memoryview(blob)
+    out = [bytes(mv[int(s):int(e)]) for s, e in zip(term_byte_start, term_byte_end)]
+    return out, B_t.astype(np.int64)

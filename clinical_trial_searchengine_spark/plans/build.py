@@ -54,7 +54,10 @@ from clinical_trial_searchengine_spark.functions.analysis import (
     analyze_batch,
     analyze_flat,
 )
-from clinical_trial_searchengine_spark.functions.codec import encode_postings
+from clinical_trial_searchengine_spark.functions.codec import (
+    encode_postings,
+    encode_postings_group,
+)
 from clinical_trial_searchengine_spark.plans import segments as seg
 
 DEFAULT_SHARD_SIZE = 100_000  # docs per shard; ~10-50M on a real cluster
@@ -187,22 +190,23 @@ def _encode_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # term boundaries on the sorted code column
     change = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
     bounds = np.concatenate((change, [len(codes)]))
-    out_terms, out_df, out_cf, out_nb, out_post = [], [], [], [], []
+    # NOTE: per-term loop beats codec.encode_postings_group here — this VM
+    # is memory-bandwidth-starved, so the batch encoder's full-size
+    # temporaries lose to cache-resident small-array work; both paths are
+    # byte-identical (tests/test_codec.py) — swap if the host is healthy.
+    out_post, out_nb = [], []
     for i in range(len(change)):
         lo, hi = bounds[i], bounds[i + 1]
         buf, n_blocks = encode_postings(doc_ids[lo:hi], tfs[lo:hi])
-        out_terms.append(terms[codes[lo]])
-        out_df.append(hi - lo)
-        out_cf.append(int(tfs[lo:hi].sum()))
-        out_nb.append(n_blocks)
         out_post.append(buf)
+        out_nb.append(n_blocks)
     return pd.DataFrame(
         {
-            "shard": np.full(len(out_terms), shard, dtype=np.int32),
-            "term": out_terms,
-            "salt": np.full(len(out_terms), salt, dtype=np.int32),
-            "df_part": np.asarray(out_df, dtype=np.int64),
-            "cf_part": np.asarray(out_cf, dtype=np.int64),
+            "shard": np.full(len(change), shard, dtype=np.int32),
+            "term": terms[codes[change]],
+            "salt": np.full(len(change), salt, dtype=np.int32),
+            "df_part": np.diff(bounds),
+            "cf_part": np.add.reduceat(tfs, change).astype(np.int64),
             "n_blocks": np.asarray(out_nb, dtype=np.int32),
             "postings": out_post,
         }

@@ -372,3 +372,103 @@ def search_all(
     if not qtf:
         return spark.createDataFrame([], _RESULT_SCHEMA)
     return _scored_df(handle, qtf, handle.meta["shard_size"], use_wand=False)
+
+
+def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
+                       b: float, shard_size: int, k: int):
+    """Multi-query per-shard kernel: decode each needed posting list ONCE,
+    accumulate into one score vector per query, bounded top-k per query.
+
+    This is the eval-pipeline shape (reference runs 75 TREC topics per run,
+    reference: backend/evaluation/evaluation_pipeline.py:122-150): one Spark
+    job for the whole query set amortizes scheduling + scan over all
+    queries instead of paying it per query."""
+    # term -> [(query_id, qtf*idf placeholder computed with df later)]
+    all_terms = sorted({t for q in queries.values() for t in q})
+
+    def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "str", "doc_id": "int64", "score": "float64"})
+        if p_pdf.empty or n_pdf.empty:
+            return empty
+        shard = int(key[0])
+        base = shard * shard_size
+        dl = _norms_dl(n_pdf)
+        by_term = {r.term: r for r in p_pdf.itertuples()}
+        # decode + per-term normalized contribution, shared across queries
+        contrib: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
+        for term in all_terms:
+            row = by_term.get(term)
+            if row is None:
+                continue
+            ids, tfs = decode_postings(bytes(row.postings))
+            off = (ids - np.uint64(base)).astype(np.int64)
+            Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
+            contrib[term] = (off, tfs.astype(np.float64) / (tfs + Kd),
+                             _idf(N, row.df))
+        frames = []
+        for qid, qtf in queries.items():
+            acc = np.zeros(dl.size, dtype=np.float64)
+            for term in sorted(qtf):  # fixed order == oracle
+                c = contrib.get(term)
+                if c is None:
+                    continue
+                off, norm_tf, idf = c
+                acc[off] += (qtf[term] * idf) * norm_tf
+            top = _topk_from_scores(acc, base, k)
+            if len(top):
+                top.insert(0, "query_id", qid)
+                frames.append(top)
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return kernel
+
+
+def search_many(
+    spark: SparkSession,
+    index_dir: str,
+    query_texts: dict[str, str],
+    k: int = 10,
+    handle: IndexHandle | None = None,
+) -> DataFrame:
+    """Top-k for a SET of queries in one distributed job.
+
+    Returns DataFrame (query_id, doc_id, score, rank), rank-identical per
+    query to :func:`search`.  Postings are scanned once for the union of
+    all query terms; per-shard work decodes each posting list once and
+    reuses the normalized tf vector across queries."""
+    from pyspark.sql import Window
+
+    handle = handle or IndexHandle(spark, index_dir)
+    meta = handle.meta
+    queries = {
+        qid: dict(analyze_query(text, meta["mode"]))
+        for qid, text in query_texts.items()
+    }
+    queries = {qid: q for qid, q in queries.items() if q}
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
+        )
+    kernel = _make_batch_kernel(
+        queries, meta["num_docs"], meta["avg_doc_len"] or 1.0,
+        meta["k1"], meta["b"], meta["shard_size"], k,
+    )
+    terms = sorted({t for q in queries.values() for t in q})
+    postings = handle.postings.where(F.col("term").isin(terms))
+    if handle.warmed:
+        norms = handle.norms
+    else:
+        hit_shards = postings.select("shard").distinct()
+        norms = handle.norms.join(F.broadcast(hit_shards), "shard", "left_semi")
+    scored = (
+        postings.groupby("shard")
+        .cogroup(norms.groupby("shard"))
+        .applyInPandas(kernel, "query_id string, doc_id long, score double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

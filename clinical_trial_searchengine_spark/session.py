@@ -26,9 +26,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # local[N] runs executors inside the driver JVM — size it for all N
-        # threads' storage + shuffle or everything crawls under GC pressure
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # local[N] runs executors inside the driver JVM.  Measured on this
+        # workload: G1 (default) collapses under 16-32 mutator threads
+        # (local[32] build 62s -> 30s just by switching collector), and a
+        # moderate heap beats a huge one (16g < 48g with ParallelGC).  On a
+        # real cluster executors have their own JVMs and G1 defaults are
+        # fine — these two knobs are local-mode-specific.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions is not None:

@@ -83,3 +83,36 @@ def test_huge_gaps():
     buf, _ = encode_postings(ids, tfs)
     d, t = decode_postings(buf)
     assert np.array_equal(d, ids) and list(t) == [1, 2, 3]
+
+
+def test_encode_postings_group_byte_identical():
+    """Batch group encoder == per-term encoder, byte for byte (the group
+    wire format is one self-delimiting varint stream)."""
+    import numpy as np
+
+    from clinical_trial_searchengine_spark.functions.codec import (
+        decode_postings,
+        encode_postings,
+        encode_postings_group,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        T = int(rng.integers(1, 30))
+        bounds, ids, tfs = [0], [], []
+        for _t in range(T):
+            nt = int(rng.choice([1, 2, 127, 128, 129, 500]))
+            d = np.sort(rng.choice(100_000, size=nt, replace=False))
+            ids.append(d.astype(np.uint64))
+            tfs.append(rng.integers(1, 300, nt).astype(np.uint64))
+            bounds.append(bounds[-1] + nt)
+        ids = np.concatenate(ids)
+        tf = np.concatenate(tfs)
+        outs, nb = encode_postings_group(ids, tf, np.asarray(bounds))
+        for t in range(T):
+            lo, hi = bounds[t], bounds[t + 1]
+            ref, ref_nb = encode_postings(ids[lo:hi], tf[lo:hi])
+            assert outs[t] == ref and nb[t] == ref_nb
+            d2, t2 = decode_postings(outs[t])
+            assert (d2 == ids[lo:hi]).all()
+            assert (t2 == tf[lo:hi].astype(np.int64)).all()

@@ -99,3 +99,23 @@ def test_filter_context(built_index, spark):
     }
     for r in got:
         assert abs(full[r["doc_id"]] - r["score"]) <= TOL
+
+
+def test_search_many_matches_per_query(built_index):
+    """Batch execution (one job for the whole query set) must be
+    rank-identical per query to individual search() calls."""
+    from clinical_trial_searchengine_spark.sources.corpus import (
+        reference_queries,
+    )
+
+    qs = {q["query_id"]: q["text"] for q in reference_queries()[:8]}
+    batch = built_index.search_many(qs, k=10).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, text in qs.items():
+        single = built_index.search_topk_rows(text, k=10)
+        rows = sorted(got.get(qid, []))
+        assert [(d, s) for _, d, s in rows] == single, qid
