@@ -104,6 +104,139 @@ def _q_engine_bm25_topk(spark, sf_dir):
     )
 
 
+def _engine_for(spark, sf_dir):
+    import hashlib
+
+    from clinical_trial_searchengine_spark.engine import SearchEngine
+    from clinical_trial_searchengine_spark.sources.tables import (
+        documents_as_corpus,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/ctse_driver_index_{tag}"
+    eng = SearchEngine(spark, index_dir)
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        eng.build(
+            documents_as_corpus(spark, sf_dir),
+            mode="standard",
+            shard_size=2048,
+            hot_df_threshold=1000,
+        )
+    return eng
+
+
+def _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10):
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    dm = spark.read.parquet(
+        seg.path_of(f"/tmp/ctse_driver_index_"
+                    f"{__import__('hashlib').md5(sf_dir.encode()).hexdigest()[:8]}",
+                    seg.DOC_META)
+    ).select(
+        "doc_id",
+        F.expr("cast(substring(path, 5, 100) as long)").alias("orig_doc_id"),
+    )
+    return (
+        scored.join(dm, "doc_id")
+        .select(
+            F.col("orig_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _q_engine_bm25_wand(spark, sf_dir):
+    """B6: block-max WAND kernel against the SAME DuckDB BM25 oracle —
+    driver-verified WAND == exhaustive == oracle."""
+    eng = _engine_for(spark, sf_dir)
+    scored = eng.search("merge join filter", k=10, use_wand=True)
+    return _engine_topk_as_orig_ids(spark, sf_dir, scored)
+
+
+def _q_engine_bm25_filtered(spark, sf_dir):
+    """B4 on the SEGMENT path: exact filter context (membership only,
+    scores unchanged, applied before the limit)."""
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    eng = _engine_for(spark, sf_dir)
+    idx = eng.index_dir
+    dm = spark.read.parquet(seg.path_of(idx, seg.DOC_META))
+    keep = dm.where(F.col("lang") == "en").select("doc_id")
+    scored = eng.search("merge join filter", k=10, filter_doc_ids=keep)
+    return _engine_topk_as_orig_ids(spark, sf_dir, scored)
+
+
+def _q_engine_batch_queries(spark, sf_dir):
+    """search_many: whole query set in ONE job; oracle = per-query BM25
+    SQL stitched with UNION ALL."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    eng = _engine_for(spark, sf_dir)
+    out = eng.search_many(
+        {"qa": "merge join filter", "qb": "index scan", "qc": "parallel"},
+        k=5,
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dm = spark.read.parquet(
+        seg.path_of(f"/tmp/ctse_driver_index_{tag}", seg.DOC_META)
+    ).select(
+        "doc_id",
+        F.expr("cast(substring(path, 5, 100) as long)").alias("orig_doc_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("orig_doc_id"))
+    return (
+        out.join(dm, "doc_id")
+        .select(
+            "query_id",
+            F.col("orig_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= 5)
+    )
+
+
+def _q_engine_bm25_porter(spark, sf_dir):
+    """North-rule analyzer chain (tokenize -> stopwords -> Porter) on the
+    segment engine. No SQL oracle (stemming is not SQL-expressible);
+    rows-only driver check — exactness is covered by
+    tests/test_engine_rank_identity.py against the single-node oracle."""
+    import hashlib
+
+    from clinical_trial_searchengine_spark.engine import SearchEngine
+    from clinical_trial_searchengine_spark.sources.tables import (
+        documents_as_corpus,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/ctse_driver_index_porter_{tag}"
+    eng = SearchEngine(spark, index_dir)
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        eng.build(
+            documents_as_corpus(spark, sf_dir),
+            mode="porter",
+            shard_size=2048,
+            hot_df_threshold=1000,
+        )
+    return (
+        eng.search("merging joins filtering", k=10)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
 def _q_term_df_stats(spark, sf_dir):
     # A7: global df/cf via two-phase hash agg
     from clinical_trial_searchengine_spark.plans.dataframe_bm25 import tokens_df
@@ -483,6 +616,20 @@ def _q_embedding_cosine_dups(spark, sf_dir):
     )
 
 
+def _q_ann_cosine_ivf(spark, sf_dir):
+    # IVF with full probe (exact => same oracle as brute force); the
+    # approximate setting just lowers n_probe
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk_ivf(
+        emb, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=16
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_multimodal_features(spark, sf_dir):
     # binary-column plumbing with stubbed decode (container lacks codecs)
     from clinical_trial_searchengine_spark.operators.multimodal import (
@@ -503,6 +650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_function_score": _q_bm25_function_score,
         "bm25_filtered": _q_bm25_filtered,
         "engine_bm25_topk": _q_engine_bm25_topk,
+        "engine_bm25_wand": _q_engine_bm25_wand,
+        "engine_bm25_filtered": _q_engine_bm25_filtered,
+        "engine_batch_queries": _q_engine_batch_queries,
+        "engine_bm25_porter": _q_engine_bm25_porter,
         "term_df_stats": _q_term_df_stats,
         "doc_token_stats": _q_doc_token_stats,
         "sha256_invariant": _q_sha256_invariant,
@@ -530,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_knn_join": _q_ann_knn_join,
         "ann_cosine_lsh": _q_ann_cosine_lsh,
+        "ann_cosine_ivf": _q_ann_cosine_ivf,
         "match_all_terms": _q_match_all_terms,
         "bm25_multifield": _q_bm25_multifield,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
@@ -612,6 +764,21 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["bm25_filtered"] = bm25_oracle_sql(_Q_TERMS, k=10, where="d.lang = 'en'")
     sqls["engine_bm25_topk"] = bm25_oracle_sql(_Q_TERMS, k=10)
+    sqls["engine_bm25_wand"] = bm25_oracle_sql(_Q_TERMS, k=10)
+    sqls["engine_bm25_filtered"] = bm25_oracle_sql(
+        _Q_TERMS, k=10, where="d.lang = 'en'"
+    )
+    _batch = {
+        "qa": {"merge": 1.0, "join": 1.0, "filter": 1.0},
+        "qb": {"index": 1.0, "scan": 1.0},
+        "qc": {"parallel": 1.0},
+    }
+    sqls["engine_batch_queries"] = "\nUNION ALL\n".join(
+        f"""SELECT '{qid}' AS query_id, doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM ({bm25_oracle_sql(terms, k=5)}) t_{qid}"""
+        for qid, terms in _batch.items()
+    )
     sqls["term_df_stats"] = f"""
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
 FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
@@ -773,6 +940,7 @@ SELECT query_id, vec_id, cosine, rank FROM (
         bm25_multifield_oracle_sql,
     )
 
+    sqls["ann_cosine_ivf"] = sqls["ann_cosine_topk"]
     sqls["match_all_terms"] = f"""
 SELECT doc_id FROM documents
 WHERE len(list_intersect(list_distinct({_TOK}),

@@ -164,3 +164,78 @@ def cosine_topk_lsh(
     )
     cands = bucketed.where(F.col("_bucket").isin(probe))
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + probed exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer trained driver-side on a bounded sample (classic
+    IVF recipe: the codebook is tiny and global; training data volume adds
+    nothing past a few thousand points per centroid).  Deterministic:
+    seeded init, fixed iteration count, spherical (cosine) updates."""
+    pdf = emb.select(vec_col).limit(sample_rows).toPandas()
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            pts = X[assign == j]
+            if len(pts):
+                c = pts.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-30)
+    return C
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """vec -> nearest-centroid list id (the IVF partition key; at 100 TB
+    the table is written partitioned/bucketed by this column so a query
+    scans only the probed lists)."""
+    C = centroids
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: probe the ``n_probe`` nearest inverted
+    lists, exact re-rank inside them (reference's dense leg is exact FlatIP,
+    reference: backend/search/build_faiss_index.py:192 — IVF is its standard
+    scale-out; with n_probe == n_centroids this is exact).
+    """
+    C = centroids if centroids is not None else kmeans_centroids(
+        emb, n_centroids, vec_col, seed=seed
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probe = np.argsort(-(C @ qn))[: min(n_probe, len(C))]
+    cands = emb.withColumn(
+        "_list", ivf_assign_udf(C)(F.col(vec_col))
+    ).where(F.col("_list").isin([int(p) for p in probe]))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels — the
+improvement over the reference's test strategy promised in SURVEY.md §5.2:
+randomized inputs instead of fixtures for codec round-trips and analyzer
+equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clinical_trial_searchengine_spark.functions.analysis import (
+    analyze_batch,
+    analyze_flat,
+    tokenize_text,
+)
+from clinical_trial_searchengine_spark.functions.codec import (
+    decode_block,
+    decode_directory,
+    decode_postings,
+    encode_postings,
+    encode_postings_group,
+    varint_decode,
+    varint_encode,
+)
+
+_SETTINGS = dict(max_examples=60, deadline=None)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(**_SETTINGS)
+def test_varint_roundtrip(vals):
+    arr = np.asarray(vals, dtype=np.uint64)
+    out = varint_decode(varint_encode(arr))
+    assert (out == arr).all()
+
+
+_postings = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**12),
+        st.integers(min_value=1, max_value=10**6),
+    ),
+    min_size=1,
+    max_size=400,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(_postings)
+@settings(**_SETTINGS)
+def test_postings_roundtrip_and_directory(pairs):
+    pairs.sort()
+    ids = np.asarray([p[0] for p in pairs], dtype=np.uint64)
+    tfs = np.asarray([p[1] for p in pairs], dtype=np.uint64)
+    buf, n_blocks = encode_postings(ids, tfs)
+    d_ids, d_tfs = decode_postings(buf)
+    assert (d_ids == ids).all() and (d_tfs == tfs.astype(np.int64)).all()
+    # directory-driven selective decode == full decode
+    n, firsts, max_tfs, nbytes, offsets = decode_directory(buf)
+    assert n == len(ids) and len(firsts) == n_blocks
+    got_ids, got_tfs = [], []
+    for b in range(n_blocks):
+        bi, bt = decode_block(buf, b, n, firsts, nbytes, offsets)
+        got_ids.append(bi)
+        got_tfs.append(bt)
+        lo = b * 128
+        assert max_tfs[b] == tfs[lo : lo + 128].max()
+    assert (np.concatenate(got_ids) == ids).all()
+    assert (np.concatenate(got_tfs) == tfs.astype(np.int64)).all()
+
+
+@given(st.lists(_postings, min_size=1, max_size=8))
+@settings(max_examples=30, deadline=None)
+def test_group_encode_equals_per_term(groups):
+    ids_parts, tf_parts, bounds = [], [], [0]
+    for pairs in groups:
+        pairs.sort()
+        ids_parts.append(np.asarray([p[0] for p in pairs], dtype=np.uint64))
+        tf_parts.append(np.asarray([p[1] for p in pairs], dtype=np.uint64))
+        bounds.append(bounds[-1] + len(pairs))
+    ids = np.concatenate(ids_parts)
+    tfs = np.concatenate(tf_parts)
+    outs, nb = encode_postings_group(ids, tfs, np.asarray(bounds))
+    for t in range(len(groups)):
+        lo, hi = bounds[t], bounds[t + 1]
+        ref, ref_nb = encode_postings(ids[lo:hi], tfs[lo:hi])
+        assert outs[t] == ref and nb[t] == ref_nb
+
+
+_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(max_size=200),
+        st.text(
+            alphabet=st.sampled_from("abc 019 .,-_é\n\tXYZ"), max_size=300
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(_texts, st.sampled_from(["standard", "porter"]))
+@settings(**_SETTINGS)
+def test_analyze_flat_equals_batch(texts, mode):
+    s = pd.Series(texts, dtype=object)
+    pairs, lens = analyze_batch(s, mode)
+    di, terms, tfs, dl = analyze_flat(s, mode)
+    assert list(dl) == lens
+    rebuilt = [[] for _ in texts]
+    for i, t, c in zip(di, terms, tfs):
+        rebuilt[i].append((t, int(c)))
+    assert rebuilt == pairs
+
+
+@given(st.text(max_size=300))
+@settings(**_SETTINGS)
+def test_tokenize_invariants(text):
+    std = tokenize_text(text, "standard")
+    assert all(t == t.lower() and t for t in std)
+    porter = tokenize_text(text, "porter")
+    # stopword filtering only removes tokens (a stem may still equal a
+    # stopword string, e.g. 'thes' -> 'the', so no membership assertion)
+    assert len(porter) <= len(std)
+    # determinism
+    assert tokenize_text(text, "porter") == porter
