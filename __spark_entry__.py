@@ -70,74 +70,56 @@ def _q_bm25_filtered(spark, sf_dir):
 def _q_engine_bm25_topk(spark, sf_dir):
     """The REAL segment engine (build -> compressed postings -> distributed
     scoring) gated against the same DuckDB BM25 oracle."""
-    import hashlib
-
-    from clinical_trial_searchengine_spark.engine import SearchEngine
-    from clinical_trial_searchengine_spark.plans import segments as seg
-    from clinical_trial_searchengine_spark.sources.tables import (
-        documents_as_corpus,
-    )
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    index_dir = f"/tmp/ctse_driver_index_{tag}"
-    eng = SearchEngine(spark, index_dir)
-    if not os.path.exists(os.path.join(index_dir, "meta.json")):
-        eng.build(
-            documents_as_corpus(spark, sf_dir),
-            mode="standard",
-            shard_size=2048,
-            hot_df_threshold=1000,
-        )
+    eng = _engine_for(spark, sf_dir)
     scored = eng.search_all("merge join filter")
-    dm = spark.read.parquet(seg.path_of(index_dir, seg.DOC_META)).select(
-        "doc_id",
-        F.expr("cast(substring(path, 5, 100) as long)").alias("orig_doc_id"),
-    )
-    return (
-        scored.join(dm, "doc_id")
-        .select(
-            F.col("orig_doc_id").alias("doc_id"),
-            F.round("score", 4).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
-    )
+    return _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10)
 
 
-def _engine_for(spark, sf_dir):
+def _index_dir_for(sf_dir: str, mode: str = "standard") -> str:
     import hashlib
 
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    suffix = "" if mode == "standard" else f"_{mode}"
+    return f"/tmp/ctse_driver_index{suffix}_{tag}"
+
+
+def _engine_for(spark, sf_dir, mode: str = "standard"):
     from clinical_trial_searchengine_spark.engine import SearchEngine
     from clinical_trial_searchengine_spark.sources.tables import (
         documents_as_corpus,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    index_dir = f"/tmp/ctse_driver_index_{tag}"
-    eng = SearchEngine(spark, index_dir)
-    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+    eng = SearchEngine(spark, _index_dir_for(sf_dir, mode))
+    if not os.path.exists(os.path.join(eng.index_dir, "meta.json")):
         eng.build(
             documents_as_corpus(spark, sf_dir),
-            mode="standard",
+            mode=mode,
             shard_size=2048,
             hot_df_threshold=1000,
         )
     return eng
 
 
-def _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10):
+def _orig_id_map(spark, sf_dir):
+    """engine doc_id -> the documents table's numeric doc_id (engine ids
+    rank by (repo, path, commit) where path='doc/<n>' sorts as a string)."""
     from clinical_trial_searchengine_spark.plans import segments as seg
 
-    dm = spark.read.parquet(
-        seg.path_of(f"/tmp/ctse_driver_index_"
-                    f"{__import__('hashlib').md5(sf_dir.encode()).hexdigest()[:8]}",
-                    seg.DOC_META)
+    return spark.read.parquet(
+        seg.path_of(_index_dir_for(sf_dir), seg.DOC_META)
     ).select(
         "doc_id",
         F.expr("cast(substring(path, 5, 100) as long)").alias("orig_doc_id"),
     )
+
+
+def _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10):
+    """Remap to original ids, round, THEN take top-k — the oracle orders by
+    (rounded score, numeric id), which differs from the engine's internal
+    (raw score, engine id) order exactly at score ties, so the engine side
+    must over-fetch and re-rank in oracle order (see the k=50 call sites)."""
     return (
-        scored.join(dm, "doc_id")
+        scored.join(_orig_id_map(spark, sf_dir), "doc_id")
         .select(
             F.col("orig_doc_id").alias("doc_id"),
             F.round("score", 4).alias("score"),
@@ -149,10 +131,12 @@ def _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10):
 
 def _q_engine_bm25_wand(spark, sf_dir):
     """B6: block-max WAND kernel against the SAME DuckDB BM25 oracle —
-    driver-verified WAND == exhaustive == oracle."""
+    driver-verified WAND == exhaustive == oracle.  Over-fetch k=50 so a
+    raw-score tie at the engine's cut cannot flip the oracle-ordered
+    top-10."""
     eng = _engine_for(spark, sf_dir)
-    scored = eng.search("merge join filter", k=10, use_wand=True)
-    return _engine_topk_as_orig_ids(spark, sf_dir, scored)
+    scored = eng.search("merge join filter", k=50, use_wand=True)
+    return _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10)
 
 
 def _q_engine_bm25_filtered(spark, sf_dir):
@@ -161,37 +145,25 @@ def _q_engine_bm25_filtered(spark, sf_dir):
     from clinical_trial_searchengine_spark.plans import segments as seg
 
     eng = _engine_for(spark, sf_dir)
-    idx = eng.index_dir
-    dm = spark.read.parquet(seg.path_of(idx, seg.DOC_META))
+    dm = spark.read.parquet(seg.path_of(eng.index_dir, seg.DOC_META))
     keep = dm.where(F.col("lang") == "en").select("doc_id")
-    scored = eng.search("merge join filter", k=10, filter_doc_ids=keep)
-    return _engine_topk_as_orig_ids(spark, sf_dir, scored)
+    scored = eng.search("merge join filter", k=50, filter_doc_ids=keep)
+    return _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10)
 
 
 def _q_engine_batch_queries(spark, sf_dir):
     """search_many: whole query set in ONE job; oracle = per-query BM25
-    SQL stitched with UNION ALL."""
-    import hashlib
-
+    SQL stitched with UNION ALL.  Over-fetch (k=25) then re-rank in oracle
+    order per query — see _engine_topk_as_orig_ids."""
     from pyspark.sql import Window
-
-    from clinical_trial_searchengine_spark.plans import segments as seg
 
     eng = _engine_for(spark, sf_dir)
     out = eng.search_many(
         {"qa": "merge join filter", "qb": "index scan", "qc": "parallel"},
-        k=5,
+        k=25,
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    dm = spark.read.parquet(
-        seg.path_of(f"/tmp/ctse_driver_index_{tag}", seg.DOC_META)
-    ).select(
-        "doc_id",
-        F.expr("cast(substring(path, 5, 100) as long)").alias("orig_doc_id"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("orig_doc_id"))
     return (
-        out.join(dm, "doc_id")
+        out.join(_orig_id_map(spark, sf_dir), "doc_id")
         .select(
             "query_id",
             F.col("orig_doc_id").alias("doc_id"),
@@ -214,23 +186,7 @@ def _q_engine_bm25_porter(spark, sf_dir):
     segment engine. No SQL oracle (stemming is not SQL-expressible);
     rows-only driver check — exactness is covered by
     tests/test_engine_rank_identity.py against the single-node oracle."""
-    import hashlib
-
-    from clinical_trial_searchengine_spark.engine import SearchEngine
-    from clinical_trial_searchengine_spark.sources.tables import (
-        documents_as_corpus,
-    )
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    index_dir = f"/tmp/ctse_driver_index_porter_{tag}"
-    eng = SearchEngine(spark, index_dir)
-    if not os.path.exists(os.path.join(index_dir, "meta.json")):
-        eng.build(
-            documents_as_corpus(spark, sf_dir),
-            mode="porter",
-            shard_size=2048,
-            hot_df_threshold=1000,
-        )
+    eng = _engine_for(spark, sf_dir, mode="porter")
     return (
         eng.search("merging joins filtering", k=10)
         .select("doc_id", F.round("score", 4).alias("score"))

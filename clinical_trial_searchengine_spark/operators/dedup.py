@@ -343,20 +343,20 @@ similarity.hyperplane_bucket_udf` and run this exact kernel per bucket
     ids_all = np.asarray([r[id_col] for r in rows], dtype=np.int64)
     M = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-    b_ids = spark.sparkContext.broadcast(ids_all)
-    b_m = spark.sparkContext.broadcast(M)
+    # broadcast pre-sorted by id: workers never copy/re-sort the matrix
+    order = np.argsort(ids_all)
+    b_ids = spark.sparkContext.broadcast(ids_all[order])
+    b_m = spark.sparkContext.broadcast(np.ascontiguousarray(M[order]))
 
     def part(batches):
-        ids_g, M_g = b_ids.value, b_m.value
-        order = np.argsort(ids_g)
+        gids, M_g = b_ids.value, b_m.value
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
-            S = V @ M_g[order].T  # local x global
-            gids = ids_g[order]
+            S = V @ M_g.T  # local x global
             li, gj = np.nonzero(S >= threshold)
             keep = ids[li] < gids[gj]  # dedupe + drop self-pairs
             yield pd.DataFrame(

@@ -54,10 +54,7 @@ from clinical_trial_searchengine_spark.functions.analysis import (
     analyze_batch,
     analyze_flat,
 )
-from clinical_trial_searchengine_spark.functions.codec import (
-    encode_postings,
-    encode_postings_group,
-)
+from clinical_trial_searchengine_spark.functions.codec import encode_postings
 from clinical_trial_searchengine_spark.plans import segments as seg
 
 DEFAULT_SHARD_SIZE = 100_000  # docs per shard; ~10-50M on a real cluster
@@ -369,16 +366,17 @@ def build_index(
     t_cur = _tick("doc_meta", t_cur)
 
     # -- stats + sha verification in ONE tiny agg over doc_meta --
-    stats_row = (
-        spark.read.parquet(seg.path_of(index_dir, seg.DOC_META))
-        .agg(
-            F.count("*").alias("num_docs"),
-            F.avg("doc_len").alias("avg_doc_len"),
-            F.sum("doc_len").alias("total_terms"),
-            F.sum(F.when(F.col("sha_ok"), 0).otherwise(1)).alias("mismatches"),
-        )
-        .collect()[0]
+    dm_read = spark.read.parquet(seg.path_of(index_dir, seg.DOC_META))
+    # indexes written before the fused-sha format lack sha_ok: treat as ok
+    sha_ok_col = (
+        F.col("sha_ok") if "sha_ok" in dm_read.columns else F.lit(True)
     )
+    stats_row = dm_read.agg(
+        F.count("*").alias("num_docs"),
+        F.avg("doc_len").alias("avg_doc_len"),
+        F.sum("doc_len").alias("total_terms"),
+        F.sum(F.when(sha_ok_col, 0).otherwise(1)).alias("mismatches"),
+    ).collect()[0]
     num_docs = stats_row["num_docs"]
     if has_sha and ("verify_sha", 0) not in done:
         start = time.time()
@@ -389,6 +387,14 @@ def build_index(
             rows_in=mismatches, sha_ok=mismatches == 0, started_at=start,
         )
         if mismatches:
+            # un-mark the stages derived from the corrupt corpus so a rerun
+            # (after the input is fixed) recomputes them from live data
+            # instead of reading the stale persisted sha_ok rows forever
+            for stage in ("doc_meta", "term_stats", "stats"):
+                seg.manifest_append(
+                    spark, index_dir, stage, 0, "failed",
+                    sha_ok=False, started_at=start,
+                )
             raise ValueError(
                 f"content_sha256 invariant violated for {mismatches} rows"
             )
@@ -462,10 +468,8 @@ def build_index(
             "shard int, term string, salt int, df_part long, cf_part long, "
             "n_blocks int, postings binary"
         )
-        encoded = (
-            salted.groupBy("shard", "bucket", "salt")
-            .applyInPandas(_encode_bucket_group, enc_schema)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        encoded = salted.groupBy("shard", "bucket", "salt").applyInPandas(
+            _encode_bucket_group, enc_schema
         )
 
         merge_schema = "shard int, term string, n_blocks int, postings binary"
@@ -481,10 +485,14 @@ def build_index(
             merged = cold.unionByName(hot_merged)
         else:
             merged = encoded.select("shard", "term", "n_blocks", "postings")
+        # persist POST-merge/join: the counts collect and the write job are
+        # the two consumers — caching `encoded` instead would re-run the
+        # hot-term merge kernel + stats join once per consumer
         final = (
             merged.join(term_stats, "term")
             .select("shard", "term", "df", "cf", "n_blocks", "postings")
             .withColumn("group", F.col("shard") % n_groups)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         t_cur = _tick("encode_plan", t_cur)
 
@@ -515,7 +523,7 @@ def build_index(
             seg.metrics_append(
                 spark, index_dir, [("postings", g, "rows", float(n_terms))]
             )
-        encoded.unpersist()
+        final.unpersist()
     t_cur = _tick("postings_write", t_cur)
 
     # -- norms (doc_len arrays per shard chunk) --

@@ -71,7 +71,22 @@ def stream_corpus_to_index(
     )
     q.awaitTermination()
 
-    cols = [c.split(" ")[0] for c in schema.split(", ")]
+    import os
+
+    from pyspark.sql.types import StructType
+
+    if not os.path.exists(staging_dir):
+        # nothing has ever been drained: no batch ran, nothing to index
+        if os.path.exists(os.path.join(index_dir, "meta.json")):
+            from clinical_trial_searchengine_spark.plans.segments import (
+                read_meta,
+            )
+
+            meta = read_meta(index_dir)
+            meta["new_docs"] = 0
+            return meta
+        return {"num_docs": 0, "new_docs": 0}
+    cols = StructType.fromDDL(schema).fieldNames()
     staged = (
         spark.read.option("basePath", staging_dir)
         .parquet(staging_dir)

@@ -196,13 +196,22 @@ def main() -> None:
                 prev = cells.get((cpus, n))
                 if prev is None:
                     cells[(cpus, n)] = got
-                else:  # keep min build_sec and max qps independently
-                    best_qps = max(got.get("queries_per_sec") or 0,
-                                   prev.get("queries_per_sec") or 0)
-                    if got["build_sec"] < prev["build_sec"]:
-                        cells[(cpus, n)] = got
-                    if best_qps:
-                        cells[(cpus, n)]["queries_per_sec"] = best_qps
+                else:
+                    # keep min build_sec and best query TRIPLE independently
+                    # (qps/query_sec/n_queries move together so the report
+                    # stays internally consistent)
+                    best = dict(got if got["build_sec"] < prev["build_sec"]
+                                else prev)
+                    q_src = max(
+                        (d for d in (got, prev)
+                         if d.get("queries_per_sec")),
+                        key=lambda d: d["queries_per_sec"],
+                        default=None,
+                    )
+                    if q_src is not None:
+                        for f in ("queries_per_sec", "query_sec", "n_queries"):
+                            best[f] = q_src[f]
+                    cells[(cpus, n)] = best
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(hist_path, "w") as f:

@@ -183,3 +183,25 @@ def test_norms_cover_all_docs(built_index, spark):
         arr = np.frombuffer(r["doc_lens"], dtype="<i4")
         assert len(arr) == r["n"]
         assert (arr >= 0).all()
+
+
+def test_sha_failure_then_fixed_corpus_resumes_clean(
+    spark, small_corpus_pdf, tmp_path
+):
+    """A failed sha check must not wedge the index dir: stages computed
+    from the corrupt corpus are un-marked, so rebuilding with the FIXED
+    corpus in the same dir recomputes them and succeeds."""
+    import pytest as _pytest
+
+    bad = small_corpus_pdf.copy()
+    bad.loc[3, "content"] = bad.loc[3, "content"] + " tampered"
+    d = str(tmp_path / "wedge")
+    eng = SearchEngine(spark, d)
+    with _pytest.raises(ValueError, match="sha256 invariant"):
+        eng.build(spark.createDataFrame(bad), shard_size=64)
+    # rerun with the corrected corpus in the SAME dir
+    good = spark.createDataFrame(small_corpus_pdf)
+    meta = SearchEngine(spark, d).build(good, shard_size=64)
+    assert meta["num_docs"] == len(small_corpus_pdf)
+    dm = spark.read.parquet(seg.path_of(d, seg.DOC_META))
+    assert dm.where(~F.col("sha_ok")).count() == 0
