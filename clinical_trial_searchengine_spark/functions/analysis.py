@@ -264,7 +264,22 @@ def analyze_batch(
     return pairs_out, lens_out
 
 
+# Worker-lifetime stem memo.  Bounded: long-lived Python workers over a
+# huge-vocabulary corpus would otherwise grow this dict monotonically (a slow
+# executor memory leak).  Clearing on overflow keeps the common-term hit rate
+# (hot terms re-enter immediately) with an O(1) cap.
 _STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 1 << 20
+
+
+def _stem_cached(t: str) -> str:
+    s = _STEM_CACHE.get(t)
+    if s is None:
+        if len(_STEM_CACHE) >= _STEM_CACHE_MAX:
+            _STEM_CACHE.clear()
+        s = porter_stem(t)
+        _STEM_CACHE[t] = s
+    return s
 
 
 def analyze_flat(texts: pd.Series, mode: str = "standard"):
@@ -296,16 +311,9 @@ def analyze_flat(texts: pd.Series, mode: str = "standard"):
     codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
 
     if mode == "porter":
-        mapped = []
-        for t in uniques:
-            if t in STOPWORDS:
-                mapped.append(None)
-                continue
-            s = _STEM_CACHE.get(t)
-            if s is None:
-                s = porter_stem(t)
-                _STEM_CACHE[t] = s
-            mapped.append(s)
+        mapped = [
+            None if t in STOPWORDS else _stem_cached(t) for t in uniques
+        ]
         keep_unique = np.asarray([m is not None for m in mapped])
         keep = keep_unique[codes]
         codes, doc_idx = codes[keep], doc_idx[keep]

@@ -360,8 +360,13 @@ def build_index(
             "doc_len", F.coalesce("doc_len", F.lit(0))
         )
         dm.write.mode("overwrite").parquet(seg.path_of(index_dir, seg.DOC_META))
+        # sha_ok flag on THIS row records whether the persisted sha_ok column
+        # was actually computed (vs the verify_sha=False lit(True)
+        # placeholder) — verify_sha on a resumed run checks it before
+        # trusting the column.
         seg.manifest_append(
-            spark, index_dir, "doc_meta", 0, "done", started_at=start
+            spark, index_dir, "doc_meta", 0, "done",
+            sha_ok=has_sha, started_at=start,
         )
     t_cur = _tick("doc_meta", t_cur)
 
@@ -380,7 +385,22 @@ def build_index(
     num_docs = stats_row["num_docs"]
     if has_sha and ("verify_sha", 0) not in done:
         start = time.time()
-        mismatches = int(stats_row["mismatches"] or 0)
+        dm_flags = seg.manifest_latest(spark, index_dir).get(("doc_meta", 0))
+        sha_was_computed = (
+            "sha_ok" in dm_read.columns
+            and dm_flags is not None
+            and bool(dm_flags["sha_ok"])
+        )
+        if sha_was_computed:
+            mismatches = int(stats_row["mismatches"] or 0)
+        else:
+            # doc_meta was persisted by a verify_sha=False (or pre-sha-format)
+            # run: its sha_ok column is a lit(True) placeholder and trusting
+            # it would mark the invariant verified without any hash ever
+            # being computed.  Recompute sha2(content) from the live corpus.
+            mismatches = docs.where(
+                F.sha2(F.col("content"), 256) != F.col("content_sha256")
+            ).count()
         seg.manifest_append(
             spark, index_dir, "verify_sha", 0,
             "done" if mismatches == 0 else "failed",

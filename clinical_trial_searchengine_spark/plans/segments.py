@@ -133,6 +133,31 @@ def manifest_done(spark: SparkSession, index_dir: str) -> set[tuple[str, int]]:
     }
 
 
+def manifest_latest(spark: SparkSession, index_dir: str) -> dict:
+    """Latest manifest row per (stage, partition_id) as a dict of
+    {'status': ..., 'sha_ok': ...} — used to check per-stage flags (e.g.
+    whether doc_meta's sha_ok column was actually computed or is the
+    verify_sha=False placeholder)."""
+    m = manifest_read(spark, index_dir)
+    if m is None:
+        return {}
+    latest = (
+        m.groupBy("stage", "partition_id")
+        .agg(F.max(F.struct("finished_at", "status", "sha_ok")).alias("last"))
+        .select(
+            "stage", "partition_id",
+            F.col("last.status").alias("status"),
+            F.col("last.sha_ok").alias("sha_ok"),
+        )
+    )
+    return {
+        (r["stage"], r["partition_id"]): {
+            "status": r["status"], "sha_ok": r["sha_ok"]
+        }
+        for r in latest.collect()
+    }
+
+
 def metrics_append(
     spark: SparkSession, index_dir: str, rows: list[tuple[str, int, str, float]]
 ) -> None:

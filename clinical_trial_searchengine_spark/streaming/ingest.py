@@ -74,8 +74,31 @@ def stream_corpus_to_index(
     import os
 
     from pyspark.sql.types import StructType
+    from pyspark.sql.utils import AnalysisException
 
-    if not os.path.exists(staging_dir):
+    cols = StructType.fromDDL(schema).fieldNames()
+    try:
+        # probe via the reader, not os.path.exists: staging_dir may be a
+        # non-driver-local URI (hdfs://, s3a://) where exists() is always
+        # False and drained batches would silently never be indexed
+        # `batch` is the partition column of the staging layout; keep it so
+        # re-staged keys (re-export / backfill landing the same
+        # (repo, path, commit) in a later batch) dedup to the LATEST version
+        # instead of being indexed twice (upsert-by-key semantics, matching
+        # the reference scraper's ON CONFLICT DO UPDATE,
+        # reference: backend/db/scrape_clinical_trials.py:332-462).
+        staged_raw = spark.read.option("basePath", staging_dir).parquet(
+            staging_dir
+        )
+        staged_raw.schema  # force analysis (PATH_NOT_FOUND surfaces here)
+        w_latest = (
+            staged_raw.groupBy("repo", "path", "commit")
+            .agg(F.max("batch").alias("batch"))
+        )
+        staged = staged_raw.join(
+            w_latest, ["repo", "path", "commit", "batch"], "left_semi"
+        ).select(*cols)
+    except AnalysisException:
         # nothing has ever been drained: no batch ran, nothing to index
         if os.path.exists(os.path.join(index_dir, "meta.json")):
             from clinical_trial_searchengine_spark.plans.segments import (
@@ -86,12 +109,6 @@ def stream_corpus_to_index(
             meta["new_docs"] = 0
             return meta
         return {"num_docs": 0, "new_docs": 0}
-    cols = StructType.fromDDL(schema).fieldNames()
-    staged = (
-        spark.read.option("basePath", staging_dir)
-        .parquet(staging_dir)
-        .select(*cols)
-    )
     return incremental_index(spark, staged, index_dir, **build_kwargs)
 
 

@@ -185,6 +185,27 @@ def test_norms_cover_all_docs(built_index, spark):
         assert (arr >= 0).all()
 
 
+def test_verify_sha_resume_does_not_trust_placeholder(
+    spark, small_corpus_pdf, tmp_path
+):
+    """doc_meta persisted by a verify_sha=False run holds sha_ok=lit(True)
+    placeholders; a later resumed verify_sha=True run must RECOMPUTE the
+    hashes from the corpus (and fail on corruption) instead of reading the
+    placeholder column and silently passing."""
+    bad = small_corpus_pdf.copy()
+    bad.loc[3, "content"] = bad.loc[3, "content"] + " tampered"
+    d = str(tmp_path / "placeholder")
+    # pass 1: invariant checking disabled -> build succeeds on corrupt input
+    SearchEngine(spark, d).build(
+        spark.createDataFrame(bad), shard_size=64, verify_sha=False
+    )
+    # pass 2: resume with verification ON -> must detect the corruption
+    with pytest.raises(ValueError, match="sha256 invariant"):
+        SearchEngine(spark, d).build(
+            spark.createDataFrame(bad), shard_size=64, verify_sha=True
+        )
+
+
 def test_sha_failure_then_fixed_corpus_resumes_clean(
     spark, small_corpus_pdf, tmp_path
 ):
