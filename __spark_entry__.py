@@ -100,26 +100,26 @@ def _engine_for(spark, sf_dir, mode: str = "standard"):
     return eng
 
 
-def _orig_id_map(spark, sf_dir):
+def _orig_id_map(spark, sf_dir, index_dir: str | None = None):
     """engine doc_id -> the documents table's numeric doc_id (engine ids
     rank by (repo, path, commit) where path='doc/<n>' sorts as a string)."""
     from clinical_trial_searchengine_spark.plans import segments as seg
 
     return spark.read.parquet(
-        seg.path_of(_index_dir_for(sf_dir), seg.DOC_META)
+        seg.path_of(index_dir or _index_dir_for(sf_dir), seg.DOC_META)
     ).select(
         "doc_id",
         F.expr("cast(substring(path, 5, 100) as long)").alias("orig_doc_id"),
     )
 
 
-def _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10):
+def _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10, index_dir=None):
     """Remap to original ids, round, THEN take top-k — the oracle orders by
     (rounded score, numeric id), which differs from the engine's internal
     (raw score, engine id) order exactly at score ties, so the engine side
     must over-fetch and re-rank in oracle order (see the k=50 call sites)."""
     return (
-        scored.join(_orig_id_map(spark, sf_dir), "doc_id")
+        scored.join(_orig_id_map(spark, sf_dir, index_dir), "doc_id")
         .select(
             F.col("orig_doc_id").alias("doc_id"),
             F.round("score", 4).alias("score"),
@@ -178,6 +178,55 @@ def _q_engine_batch_queries(spark, sf_dir):
             ),
         )
         .where(F.col("rank") <= 5)
+    )
+
+
+def _q_engine_bm25_function_score(spark, sf_dir):
+    """B3 on the SEGMENT path: multiplicative function-score applied after
+    BM25, exact (all matches scored + multiplied before the limit;
+    reference: backend/api/main.py:293-314).  Over-fetch k=50 so the oracle's
+    (rounded score, numeric id) order at ties is reproducible."""
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    eng = _engine_for(spark, sf_dir)
+    dm = spark.read.parquet(seg.path_of(eng.index_dir, seg.DOC_META))
+    boost = dm.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.15).otherwise(1.0).alias("_boost"),
+    )
+    scored = eng.search("merge join filter", k=50, boost=boost)
+    return _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10)
+
+
+_MF_FIELDS = {"title": "substring(content, 1, 120)", "body": "content"}
+_MF_BOOSTS = {"title": 3.0, "body": 1.0}
+
+
+def _q_engine_bm25_multifield(spark, sf_dir):
+    """B2 on the SEGMENT path: per-field sub-indexes (own df/dl/avgdl per
+    field, Lucene multi_match best_fields semantics) merged with dis_max
+    (reference: backend/api/main.py:213-232)."""
+    from clinical_trial_searchengine_spark.plans.multifield import (
+        MF_META,
+        build_multifield_index,
+        field_dir,
+        search_multifield,
+    )
+    from clinical_trial_searchengine_spark.sources.tables import (
+        documents_as_corpus,
+    )
+
+    idx = _index_dir_for(sf_dir, "mf")
+    if not os.path.exists(os.path.join(idx, MF_META)):
+        build_multifield_index(
+            spark, documents_as_corpus(spark, sf_dir), idx,
+            fields=_MF_FIELDS, shard_size=2048, hot_df_threshold=1000,
+        )
+    scored = search_multifield(
+        spark, idx, "merge join filter", boosts=_MF_BOOSTS, k=50
+    )
+    return _engine_topk_as_orig_ids(
+        spark, sf_dir, scored, k=10, index_dir=field_dir(idx, "body")
     )
 
 
@@ -609,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bm25_wand": _q_engine_bm25_wand,
         "engine_bm25_filtered": _q_engine_bm25_filtered,
         "engine_batch_queries": _q_engine_batch_queries,
+        "engine_bm25_function_score": _q_engine_bm25_function_score,
+        "engine_bm25_multifield": _q_engine_bm25_multifield,
         "engine_bm25_porter": _q_engine_bm25_porter,
         "term_df_stats": _q_term_df_stats,
         "doc_token_stats": _q_doc_token_stats,
@@ -723,6 +774,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["engine_bm25_wand"] = bm25_oracle_sql(_Q_TERMS, k=10)
     sqls["engine_bm25_filtered"] = bm25_oracle_sql(
         _Q_TERMS, k=10, where="d.lang = 'en'"
+    )
+    sqls["engine_bm25_function_score"] = bm25_oracle_sql(
+        _Q_TERMS, k=10,
+        boost_case="CASE WHEN d.lang = 'en' THEN 1.15 ELSE 1.0 END",
     )
     _batch = {
         "qa": {"merge": 1.0, "join": 1.0, "filter": 1.0},
@@ -903,6 +958,11 @@ WHERE len(list_intersect(list_distinct({_TOK}),
                          ['merge', 'join', 'filter'])) = 3
 """
     sqls["bm25_multifield"] = bm25_multifield_oracle_sql(
+        _Q_TERMS, _MULTIFIELDS, k=10
+    )
+    # engine multifield scores the same two fields with the same per-field
+    # stats and dis_max -> identical oracle
+    sqls["engine_bm25_multifield"] = bm25_multifield_oracle_sql(
         _Q_TERMS, _MULTIFIELDS, k=10
     )
     sqls["embedding_cosine_dups"] = """

@@ -332,20 +332,44 @@ def search(
     use_wand: bool = False,
     include_meta: bool = False,
     filter_doc_ids: DataFrame | None = None,
+    boost: DataFrame | None = None,
     handle: IndexHandle | None = None,
 ) -> DataFrame:
-    """Top-k BM25. Returns DataFrame (doc_id, score [, repo/path/...])."""
+    """Top-k BM25. Returns DataFrame (doc_id, score [, repo/path/...]).
+
+    ``boost``: optional (doc_id, _boost) DataFrame — multiplicative
+    function-score applied AFTER BM25, exact: all matches are scored and
+    multiplied before the limit, because a per-doc multiplier can promote a
+    doc past the unboosted per-shard heap cut (B3 on the segment path,
+    reference: backend/api/main.py:293-314).
+    ``filter_doc_ids``: optional (doc_id) DataFrame — exact filter context
+    (B4): membership only, never affects scores, applied before the limit.
+    """
     handle = handle or IndexHandle(spark, index_dir)
     qtf = analyze_query(query_text, handle.meta["mode"])
     if not qtf:
         return spark.createDataFrame([], _RESULT_SCHEMA)
-    if filter_doc_ids is not None:
-        # exact filter context (B4): membership only, never affects scores —
-        # but must be applied BEFORE the limit to keep top-k exact, so score
-        # all matches (per-shard heaps can't know the filter survivors).
+    if filter_doc_ids is not None or boost is not None:
+        # exactness requires scoring all matches (per-shard heaps can't know
+        # the filter survivors / post-multiplier order).
         scored = _scored_df(
             handle, qtf, handle.meta["shard_size"], use_wand=False
-        ).join(filter_doc_ids.select("doc_id"), "doc_id", "left_semi")
+        )
+        if boost is not None:
+            scored = (
+                # no broadcast hint: boost tables range from tiny (a handful
+                # of promoted docs) to per-doc (recency) — let AQE pick.
+                scored.join(boost.select("doc_id", "_boost"), "doc_id", "left")
+                .withColumn(
+                    "score",
+                    F.col("score") * F.coalesce(F.col("_boost"), F.lit(1.0)),
+                )
+                .drop("_boost")
+            )
+        if filter_doc_ids is not None:
+            scored = scored.join(
+                filter_doc_ids.select("doc_id"), "doc_id", "left_semi"
+            )
     else:
         scored = _scored_df(handle, qtf, k, use_wand)
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

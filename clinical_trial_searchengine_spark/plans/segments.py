@@ -47,17 +47,25 @@ def path_of(index_dir: str, name: str) -> str:
     return os.path.join(index_dir, name)
 
 
-def write_meta(index_dir: str, meta: dict) -> None:
+def write_meta_named(index_dir: str, meta: dict, filename: str) -> None:
     os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, "meta.json.tmp")
+    tmp = os.path.join(index_dir, filename + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+    os.replace(tmp, os.path.join(index_dir, filename))
+
+
+def read_meta_named(index_dir: str, filename: str) -> dict:
+    with open(os.path.join(index_dir, filename)) as f:
+        return json.load(f)
+
+
+def write_meta(index_dir: str, meta: dict) -> None:
+    write_meta_named(index_dir, meta, "meta.json")
 
 
 def read_meta(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        return json.load(f)
+    return read_meta_named(index_dir, "meta.json")
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,70 @@ def test_filter_context(built_index, spark):
         assert abs(full[r["doc_id"]] - r["score"]) <= TOL
 
 
+def test_function_score_boost(built_index, spark):
+    """B3 on the segment path: boosted ranking == boost applied to the
+    exhaustive all-match scores, exact before the limit."""
+    from pyspark.sql import functions as F
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    dm = spark.read.parquet(seg.path_of(built_index.index_dir, seg.DOC_META))
+    boost = dm.select(
+        "doc_id",
+        F.when(F.col("lang") == "python", 2.0).otherwise(1.0).alias("_boost"),
+    )
+    boost_map = {r["doc_id"]: r["_boost"] for r in boost.collect()}
+    got = built_index.search("def license", 10, boost=boost).collect()
+    full = {
+        r["doc_id"]: r["score"]
+        for r in built_index.search_all("def license").collect()
+    }
+    exp = sorted(
+        ((d, s * boost_map[d]) for d, s in full.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (d, s) in zip(got, exp):
+        assert abs(r["score"] - s) <= TOL
+
+
+def test_multifield_engine_matches_dataframe_path(
+    spark, small_corpus_df, tmp_path_factory
+):
+    """B2 on the segment path: per-field sub-indexes + dis_max merge is
+    rank-identical to the pure-DataFrame bm25_multifield_topk (which the
+    DuckDB oracle gates)."""
+    from clinical_trial_searchengine_spark.plans.dataframe_bm25 import (
+        bm25_multifield_topk,
+    )
+    from clinical_trial_searchengine_spark.plans.multifield import (
+        build_multifield_index,
+        search_multifield,
+    )
+
+    d = str(tmp_path_factory.mktemp("mf") / "idx")
+    fields = {"head": "substring(content, 1, 80)", "body": "content"}
+    build_multifield_index(
+        spark, small_corpus_df, d, fields=fields,
+        shard_size=48, hot_df_threshold=40,
+    )
+    got = search_multifield(
+        spark, d, "def license import",
+        boosts={"head": 3.0, "body": 1.0}, k=10, round_to=6,
+    ).collect()
+    exp = bm25_multifield_topk(
+        small_corpus_df.selectExpr(
+            "row_number() over (order by repo, path, commit) - 1 as doc_id",
+            "content",
+        ),
+        {"def": 1.0, "license": 1.0, "import": 1.0},
+        [("substring(content, 1, 80)", 3.0), ("content", 1.0)],
+        k=10, round_to=6,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in exp
+    ]
+
+
 def test_search_many_matches_per_query(built_index):
     """Batch execution (one job for the whole query set) must be
     rank-identical per query to individual search() calls."""
