@@ -635,6 +635,53 @@ def _q_ann_cosine_ivf(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _eval_run_qrels(spark, sf_dir):
+    """Deterministic run + qrels derived from the orders table (J4/A5):
+    3 queries = o_orderkey % 3 buckets ranked by price; qrels = graded
+    relevance on the even-keyed half (odd keys stay unjudged)."""
+    from clinical_trial_searchengine_spark.operators.eval import rank_run
+
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        F.concat(F.lit("q"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "query_id"
+        ),
+        F.col("o_orderkey").alias("doc_id"),
+        F.col("o_totalprice").alias("score"),
+    )
+    run = rank_run(scored, k=20).select("query_id", "doc_id", "rank")
+    qrels = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.concat(F.lit("q"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "query_id"
+        ),
+        F.col("o_orderkey").alias("doc_id"),
+        F.when(F.col("o_custkey") % 7 == 0, 2)
+        .when(F.col("o_custkey") % 3 == 0, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return run, qrels
+
+
+def _q_eval_ir_metrics(spark, sf_dir):
+    # J4+A5 completed: run ⋈ qrels -> ndcg/mrr/map/precision/recall/
+    # hit_rate/bpref per query (reference: backend/evaluation/
+    # evaluation_pipeline.py:122-146, custom_metrics.py:137-197)
+    from clinical_trial_searchengine_spark.operators.eval import ir_metrics
+
+    run, qrels = _eval_run_qrels(spark, sf_dir)
+    return ir_metrics(run, qrels, k=10)
+
+
+def _q_eval_ir_means(spark, sf_dir):
+    from clinical_trial_searchengine_spark.operators.eval import (
+        ir_metrics_mean,
+    )
+
+    run, qrels = _eval_run_qrels(spark, sf_dir)
+    return ir_metrics_mean(run, qrels, k=10)
+
+
 def _q_multimodal_features(spark, sf_dir):
     # binary-column plumbing with stubbed decode (container lacks codecs)
     from clinical_trial_searchengine_spark.operators.multimodal import (
@@ -680,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,
         "minmax_norm": _q_minmax_norm,
         "window_rank": _q_window_rank,
+        "eval_ir_metrics": _q_eval_ir_metrics,
+        "eval_ir_means": _q_eval_ir_means,
         "events_hourly": _q_events_hourly,
         "json_extract_props": _q_json_extract_props,
         "set_ops_lang_tokens": _q_set_ops_lang_tokens,
@@ -723,6 +772,89 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE ni / (sa.n + sb.n - ni) >= 0.8
+"""
+
+_EVAL_BASE_SQL = """
+scored AS (
+  SELECT 'q' || (o_orderkey % 3)::VARCHAR AS query_id,
+         o_orderkey AS doc_id, o_totalprice AS score
+  FROM orders
+),
+run AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+  QUALIFY rank <= 20
+),
+qrels AS (
+  SELECT 'q' || (o_orderkey % 3)::VARCHAR AS query_id,
+         o_orderkey AS doc_id,
+         CASE WHEN o_custkey % 7 = 0 THEN 2
+              WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END AS rel
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+totals AS (
+  SELECT query_id,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS R,
+         sum(CASE WHEN rel = 0 THEN 1 ELSE 0 END) AS N
+  FROM qrels GROUP BY 1
+  HAVING sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) > 0
+),
+ideal AS (
+  SELECT query_id, sum((pow(2, rel) - 1) / log2(irank + 1)) AS idcg FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM qrels WHERE rel > 0
+  ) WHERE irank <= 10 GROUP BY 1
+),
+j AS (
+  SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel,
+         CASE WHEN q.rel IS NOT NULL THEN 1 ELSE 0 END AS judged
+  FROM run r LEFT JOIN qrels q USING (query_id, doc_id)
+  WHERE r.rank <= 10
+),
+jw AS (
+  SELECT *,
+         CASE WHEN rel > 0 THEN 1 ELSE 0 END AS rel_bin,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY query_id ORDER BY rank) AS cum_rel,
+         sum(CASE WHEN judged = 1 AND rel = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY query_id ORDER BY rank)
+           - CASE WHEN judged = 1 AND rel = 0 THEN 1 ELSE 0 END AS nonrel_above
+  FROM j
+),
+perq AS (
+  SELECT query_id, sum(rel_bin) AS n_rel_ret,
+         min(CASE WHEN rel_bin = 1 THEN rank END) AS first_rel,
+         sum(CASE WHEN rel_bin = 1 THEN cum_rel::DOUBLE / rank END) AS sum_prec,
+         sum((pow(2, rel) - 1) / log2(rank + 1)) AS dcg
+  FROM jw GROUP BY 1
+),
+bp AS (
+  SELECT jw.query_id,
+         sum(CASE WHEN rel_bin = 1 THEN
+             CASE WHEN least(t.R, t.N) = 0 THEN 1.0
+                  ELSE 1.0 - least(nonrel_above, t.R)::DOUBLE / least(t.R, t.N)
+             END END) AS bpref_sum
+  FROM jw JOIN totals t USING (query_id) GROUP BY 1
+),
+metrics AS (
+  SELECT t.query_id,
+         round(coalesce(n_rel_ret, 0) / 10.0, 6) AS precision,
+         round(coalesce(n_rel_ret, 0)::DOUBLE / t.R, 6) AS recall,
+         CASE WHEN coalesce(n_rel_ret, 0) > 0 THEN 1.0 ELSE 0.0 END AS hit_rate,
+         round(coalesce(1.0 / first_rel, 0), 6) AS mrr,
+         round(coalesce(sum_prec, 0) / t.R, 6) AS ap,
+         round(CASE WHEN coalesce(i.idcg, 0) > 0
+               THEN coalesce(dcg, 0) / i.idcg ELSE 0 END, 6) AS ndcg,
+         round(coalesce(bpref_sum, 0) / t.R, 6) AS bpref
+  FROM totals t
+  LEFT JOIN perq USING (query_id)
+  LEFT JOIN ideal i USING (query_id)
+  LEFT JOIN bp USING (query_id)
+)
 """
 
 _LANGS = {
@@ -886,6 +1018,21 @@ SELECT o_orderkey,
        round(CASE WHEN b.mx = b.mn THEN 1.0
              ELSE (o_totalprice - b.mn) / (b.mx - b.mn) END, 6) AS norm_score
 FROM o CROSS JOIN b
+"""
+    sqls["eval_ir_metrics"] = (
+        f"WITH {_EVAL_BASE_SQL} SELECT * FROM metrics"
+    )
+    sqls["eval_ir_means"] = f"""
+WITH {_EVAL_BASE_SQL}
+SELECT round(avg(precision), 6) AS mean_precision,
+       round(avg(recall), 6) AS mean_recall,
+       round(avg(hit_rate), 6) AS mean_hit_rate,
+       round(avg(mrr), 6) AS mean_mrr,
+       round(avg(ap), 6) AS mean_ap,
+       round(avg(ndcg), 6) AS mean_ndcg,
+       round(avg(bpref), 6) AS mean_bpref,
+       count(*) AS n_queries
+FROM metrics
 """
     sqls["window_rank"] = """
 SELECT o_custkey, o_orderkey, rank FROM (

@@ -1,0 +1,200 @@
+"""Batch IR evaluation metrics over (run ⋈ qrels) as pure DataFrame aggs.
+
+The reference's primary quality loop runs its TREC-style topic set through
+ranx and four custom metrics (reference: backend/evaluation/
+evaluation_pipeline.py:122-146, backend/evaluation/custom_metrics.py:137-197).
+This module is the distributed equivalent: a *run* (query_id, doc_id, rank)
+joined with *qrels* (query_id, doc_id, rel) and reduced to per-query metrics
+with window + hash aggregates — one shuffle on query_id, no UDFs, scales to
+any number of queries/docs.
+
+Metric definitions (standard trec_eval semantics; rel > 0 is relevant,
+rel = 0 rows in qrels are JUDGED non-relevant, absent rows are unjudged):
+
+  precision@k = |relevant ∩ top-k| / k
+  recall@k    = |relevant ∩ top-k| / R          (R = total relevant in qrels)
+  hit_rate@k  = 1 if any relevant in top-k else 0
+  mrr@k       = 1 / rank of first relevant in top-k   (0 if none)
+  ap@k (map)  = Σ_{i≤k, rel_i>0} P@i / R
+  ndcg@k      = DCG@k / IDCG@k,  DCG = Σ (2^rel_i - 1) / log2(i + 1),
+                IDCG from qrels' ideal ordering (rel desc, doc_id asc)
+  bpref       = (1/R) Σ_{r ∈ relevant retrieved} (1 - min(n_r, R)/min(R, N))
+                n_r = judged non-relevant ranked above r, N = |judged nonrel|
+                (term = 1 when min(R, N) = 0)
+
+Queries with no relevant qrels are excluded (trec_eval behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+METRIC_COLS = [
+    "precision", "recall", "hit_rate", "mrr", "ap", "ndcg", "bpref",
+]
+
+
+def rank_run(scored: DataFrame, k: int | None = None) -> DataFrame:
+    """(query_id, doc_id, score) -> (query_id, doc_id, rank) with the
+    engine tie-break (score desc, doc_id asc)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    out = scored.withColumn("rank", F.row_number().over(w))
+    return out.where(F.col("rank") <= k) if k else out
+
+
+def ir_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-query metrics: (query_id, precision, recall, hit_rate, mrr, ap,
+    ndcg, bpref), one row per query that has >= 1 relevant qrel.
+
+    ``run``: (query_id, doc_id, rank) — rank 1-based, unique per query.
+    ``qrels``: (query_id, doc_id, rel) — integer grades, 0 = judged nonrel.
+    """
+    rel_qrels = qrels.where(F.col("rel") > 0)
+
+    # per-query qrel totals: R, N, IDCG@k
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    idcg = (
+        rel_qrels.withColumn("irank", F.row_number().over(w_ideal))
+        .where(F.col("irank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("irank") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    totals = qrels.groupBy("query_id").agg(
+        F.sum((F.col("rel") > 0).cast("int")).alias("R"),
+        F.sum((F.col("rel") == 0).cast("int")).alias("N"),
+    ).where(F.col("R") > 0)
+
+    j = (
+        run.where(F.col("rank") <= k)
+        .join(qrels.withColumnRenamed("rel", "_rel"),
+              ["query_id", "doc_id"], "left")
+        .withColumn("judged", F.col("_rel").isNotNull())
+        .withColumn("rel", F.coalesce(F.col("_rel"), F.lit(0)))
+        .withColumn("rel_bin", (F.col("rel") > 0).cast("int"))
+        .withColumn(
+            "judged_nonrel",
+            (F.col("judged") & (F.col("rel") == 0)).cast("int"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("rank")
+    j = (
+        j.withColumn("cum_rel", F.sum("rel_bin").over(w_rank))
+        .withColumn(
+            "nonrel_above",
+            F.sum("judged_nonrel").over(w_rank) - F.col("judged_nonrel"),
+        )
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.sum("rel_bin").alias("n_rel_ret"),
+        F.min(F.when(F.col("rel_bin") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(
+            F.when(F.col("rel_bin") == 1, F.col("cum_rel") / F.col("rank"))
+        ).alias("sum_prec_at_rel"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / F.log2(F.col("rank") + 1.0)
+        ).alias("dcg"),
+    )
+    # bpref's per-row min(n_r, R) term needs R and N at row level, so it
+    # aggregates over a (tiny, broadcast) totals join instead of per_q.
+    pre = j.join(F.broadcast(totals), "query_id")
+    bpref = pre.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("rel_bin") == 1,
+                F.when(F.least("R", "N") == 0, F.lit(1.0)).otherwise(
+                    1.0
+                    - F.least(F.col("nonrel_above"), F.col("R"))
+                    / F.least("R", "N")
+                ),
+            )
+        ).alias("bpref_sum")
+    )
+
+    out = (
+        totals.join(per_q, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .join(bpref, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_rel_ret", F.lit(0)) / F.lit(float(k))).alias(
+                "precision"
+            ),
+            (F.coalesce("n_rel_ret", F.lit(0)) / F.col("R")).alias("recall"),
+            F.when(F.coalesce("n_rel_ret", F.lit(0)) > 0, 1.0)
+            .otherwise(0.0)
+            .alias("hit_rate"),
+            F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)).alias("mrr"),
+            (F.coalesce("sum_prec_at_rel", F.lit(0.0)) / F.col("R")).alias(
+                "ap"
+            ),
+            F.when(
+                F.coalesce("idcg", F.lit(0.0)) > 0,
+                F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"),
+            )
+            .otherwise(0.0)
+            .alias("ndcg"),
+            (F.coalesce("bpref_sum", F.lit(0.0)) / F.col("R")).alias("bpref"),
+        )
+    )
+    if round_to is not None:
+        out = out.select(
+            "query_id",
+            *[F.round(c, round_to).alias(c) for c in METRIC_COLS],
+        )
+    return out
+
+
+def ir_metrics_mean(
+    run: DataFrame, qrels: DataFrame, k: int = 10, round_to: int | None = 6
+) -> DataFrame:
+    """Macro-averaged metrics over all evaluated queries — the headline
+    numbers (the reference reports e.g. MRR@10 = 0.48 over its topic set).
+
+    Per-query values are rounded BEFORE averaging (when round_to is set) so
+    an oracle averaging its own rounded per-query table lands on the same
+    6th decimal."""
+    per_q = ir_metrics(run, qrels, k, round_to=round_to)
+    aggs = [F.avg(c).alias(f"mean_{c}") for c in METRIC_COLS] + [
+        F.count("*").alias("n_queries")
+    ]
+    out = per_q.agg(*aggs)
+    if round_to is not None:
+        out = out.select(
+            *[F.round(f"mean_{c}", round_to).alias(f"mean_{c}")
+              for c in METRIC_COLS],
+            "n_queries",
+        )
+    return out
+
+
+def evaluate_search(
+    engine,
+    query_texts: dict[str, str],
+    qrels: DataFrame,
+    k: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """End-to-end: run the whole query set through the segment engine in ONE
+    distributed job (search_many), rank, join qrels, reduce to per-query
+    metrics — the reference's evaluation-pipeline lifecycle
+    (reference: backend/evaluation/evaluation_pipeline.py:122-150)."""
+    run = engine.search_many(query_texts, k=k).select(
+        "query_id", "doc_id", "rank"
+    )
+    return ir_metrics(run, qrels, k=k, round_to=round_to)
