@@ -682,6 +682,26 @@ def _q_eval_ir_means(spark, sf_dir):
     return ir_metrics_mean(run, qrels, k=10)
 
 
+def _q_hybrid_rank_rrf(spark, sf_dir):
+    """Composed /rank lifecycle: BM25 leg + dense leg -> RRF
+    (keep_only_first) -> min-max normalize -> blend -> top-k
+    (reference: backend/api/main.py:427-829). Every stage is an
+    already-gated operator; this gates the composition."""
+    from clinical_trial_searchengine_spark.operators.hybrid import hybrid_rank
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(docs, _Q_TERMS, k=30)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dense = cosine_topk(
+        emb, [float(x) for x in qvec], k=60, round_to=4
+    ).select(F.col("vec_id").alias("doc_id"), "cosine")
+    return hybrid_rank(sparse, dense, k=10, rrf_k=60, blend_weight=0.3)
+
+
 def _q_multimodal_features(spark, sf_dir):
     # binary-column plumbing with stubbed decode (container lacks codecs)
     from clinical_trial_searchengine_spark.operators.multimodal import (
@@ -725,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "denorm_children": _q_denorm_children,
         "semi_join_topk_fetch": _q_semi_join_topk_fetch,
         "rrf_fusion": _q_rrf_fusion,
+        "hybrid_rank_rrf": _q_hybrid_rank_rrf,
         "minmax_norm": _q_minmax_norm,
         "window_rank": _q_window_rank,
         "eval_ir_metrics": _q_eval_ir_metrics,
@@ -1112,6 +1133,54 @@ WHERE len(list_intersect(list_distinct({_TOK}),
     sqls["engine_bm25_multifield"] = bm25_multifield_oracle_sql(
         _Q_TERMS, _MULTIFIELDS, k=10
     )
+    sqls["hybrid_rank_rrf"] = f"""
+WITH sparse AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ({bm25_oracle_sql(_Q_TERMS, k=30)}) s
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+dense0 AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv.v), 4) AS cosine
+  FROM embeddings CROSS JOIN qv
+  ORDER BY cosine DESC, vec_id ASC LIMIT 60
+),
+dense AS (
+  SELECT doc_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM dense0
+),
+contrib AS (
+  SELECT doc_id, 1.0 / (60 + rank + 1) AS rrf FROM sparse
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank + 1) AS rrf FROM dense
+),
+fused AS (
+  SELECT doc_id, sum(rrf) AS rrf_score FROM contrib GROUP BY 1
+),
+kept AS (
+  SELECT * FROM fused WHERE doc_id IN (SELECT doc_id FROM sparse)
+),
+nb AS (SELECT min(rrf_score) AS mn, max(rrf_score) AS mx FROM kept),
+normed AS (
+  SELECT doc_id,
+         CASE WHEN nb.mx = nb.mn THEN 1.0
+              ELSE (rrf_score - nb.mn) / (nb.mx - nb.mn) END AS norm
+  FROM kept CROSS JOIN nb
+),
+db AS (SELECT min(cosine) AS mn, max(cosine) AS mx FROM dense),
+dnorm AS (
+  SELECT doc_id,
+         CASE WHEN db.mx = db.mn THEN 1.0
+              ELSE (cosine - db.mn) / (db.mx - db.mn) END AS sec
+  FROM dense CROSS JOIN db
+)
+SELECT n.doc_id,
+       round(0.7 * n.norm + 0.3 * coalesce(d.sec, 0), 6) AS final_score
+FROM normed n LEFT JOIN dnorm d USING (doc_id)
+ORDER BY final_score DESC, doc_id ASC LIMIT 10
+"""
     sqls["embedding_cosine_dups"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -109,3 +109,43 @@ def test_embedding_cosine_duplicates_self_consistent(spark):
     assert got[(1, 2)] == 1.0
     assert (1, 4) in got and (2, 4) in got
     assert all((3 not in p) for p in got)
+
+
+def test_hybrid_search_end_to_end(built_index, spark):
+    """Composed /rank pipeline over the real engine + a synthetic embedding
+    table keyed by engine doc_id: membership obeys the sparse-leg drop rule
+    and the filter context."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from clinical_trial_searchengine_spark.operators.hybrid import (
+        hybrid_search,
+    )
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).round(3)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_search(
+        built_index, "def license", emb, [float(x) for x in vecs[0]],
+        k=10, sparse_n=30, dense_n=60,
+    ).collect()
+    assert len(out) == 10
+    sparse_ids = {
+        d for d, _ in built_index.search_topk_rows("def license", 30)
+    }
+    assert all(r["doc_id"] in sparse_ids for r in out)  # drop rule
+    assert all(0.0 <= r["final_score"] <= 1.0 for r in out)
+
+    # filter context propagates through the sparse leg
+    dm = spark.read.parquet(seg.path_of(built_index.index_dir, seg.DOC_META))
+    allowed = dm.where(F.col("lang") == "python").select("doc_id")
+    allowed_ids = {r["doc_id"] for r in allowed.collect()}
+    filtered = hybrid_search(
+        built_index, "def license", emb, [float(x) for x in vecs[0]],
+        k=10, sparse_n=30, dense_n=60, filter_doc_ids=allowed,
+    ).collect()
+    assert filtered and all(r["doc_id"] in allowed_ids for r in filtered)
