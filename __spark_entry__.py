@@ -622,17 +622,23 @@ def _q_embedding_cosine_dups(spark, sf_dir):
 
 
 def _q_ann_cosine_ivf(spark, sf_dir):
-    # IVF with full probe (exact => same oracle as brute force); the
-    # approximate setting just lowers n_probe
+    # MATERIALIZED IVF index (list id = partition column, paid at index
+    # time; query scans only probed partitions) with full probe
+    # (exact => same oracle as brute force); the approximate setting just
+    # lowers n_probe.
     from clinical_trial_searchengine_spark.operators.similarity import (
-        cosine_topk_ivf,
+        build_ivf_index,
+        ivf_search,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return cosine_topk_ivf(
-        emb, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=16
-    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    idx = _index_dir_for(sf_dir, "ivf")
+    if not os.path.exists(os.path.join(idx, "ivf_meta.json")):
+        build_ivf_index(emb, idx, n_centroids=16)
+    return ivf_search(
+        spark, idx, [float(x) for x in qvec], k=10, n_probe=16, round_to=4
+    ).select("vec_id", "cosine")
 
 
 def _eval_run_qrels(spark, sf_dir):

@@ -213,6 +213,87 @@ def ivf_assign_udf(centroids: np.ndarray):
     return _assign
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+) -> dict:
+    """Materialize an IVF index: vectors written PARTITIONED BY their
+    nearest-centroid list id, centroids in a JSON sidecar.
+
+    This is the 100 TB shape for :func:`cosine_topk_ivf`: the list
+    assignment is paid ONCE at index time; a query reads only the probed
+    ``_list=`` partitions (partition pruning — asserted in
+    scripts/explain_audit.py), instead of re-assigning every row per query.
+    Analogue of FAISS's train+add persistence
+    (reference: backend/search/build_faiss_index.py:215-231).
+    """
+    import json
+    import os
+
+    C = kmeans_centroids(emb, n_centroids, vec_col, sample_rows, iters, seed)
+    (
+        emb.withColumn("_list", ivf_assign_udf(C)(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("_list")
+        .parquet(os.path.join(index_dir, "lists"))
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    meta = {
+        "n_centroids": int(len(C)),
+        "dim": int(C.shape[1]),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": [[float(x) for x in row] for row in C],
+    }
+    tmp = os.path.join(index_dir, "ivf_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "ivf_meta.json"))
+    return meta
+
+
+def ivf_probed_lists(index_dir: str, query_vec: list[float], n_probe: int):
+    """(probe list ids, centroid matrix) for a query against a built index."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probe = np.argsort(-(C @ qn))[: min(n_probe, len(C))]
+    return [int(p) for p in probe], meta
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Query a materialized IVF index: scan ONLY the probed list partitions
+    (``_list`` is a partition column -> Catalyst prunes non-probed
+    directories at planning time), exact cosine re-rank inside them."""
+    import os
+
+    probe, meta = ivf_probed_lists(index_dir, query_vec, n_probe)
+    cands = spark.read.parquet(os.path.join(index_dir, "lists")).where(
+        F.col("_list").isin(probe)
+    )
+    return cosine_topk(
+        cands, query_vec, k, meta["id_col"], meta["vec_col"], round_to
+    )
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_vec: list[float],

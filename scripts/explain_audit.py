@@ -165,6 +165,34 @@ def main() -> None:
     if not ok:
         failures.append("warmed query: InMemoryTableScan")
 
+    # 6. materialized IVF index: query must prune to the probed partitions
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf_dir = f"/tmp/ctse_audit_ivf_{tag}"
+    if not os.path.exists(os.path.join(ivf_dir, "ivf_meta.json")):
+        build_ivf_index(emb, ivf_dir, n_centroids=16)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding")
+        .collect()[0][0]
+    ]
+    audit(
+        "Materialized IVF ANN query (T4 scale path)",
+        "The list id is a PARTITION column written at index time; a query "
+        "with n_probe=4 of 16 lists must show partition filters on _list — "
+        "i.e. 12 of 16 list directories are never opened.",
+        ivf_search(spark, ivf_dir, qvec, k=10, n_probe=4),
+        [
+            ("partition pruning on _list",
+             ["PartitionFilters: [_list#", "PartitionFilters: [In(_list",
+              "PartitionFilters: [_list"]),
+            ("TakeOrderedAndProject", ["TakeOrderedAndProject"]),
+        ],
+    )
     # -- write EXPLAIN.md ----------------------------------------------------
     out = ["# EXPLAIN — physical-plan audit of the scale-critical paths\n",
            "Generated by `python scripts/explain_audit.py` "

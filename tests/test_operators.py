@@ -149,3 +149,38 @@ def test_hybrid_search_end_to_end(built_index, spark):
         k=10, sparse_n=30, dense_n=60, filter_doc_ids=allowed,
     ).collect()
     assert filtered and all(r["doc_id"] in allowed_ids for r in filtered)
+
+
+def test_ivf_materialized_index_prunes_partitions(spark, tmp_path):
+    """build_ivf_index writes _list-partitioned parquet; ivf_search's scan
+    must show partition filters on _list (only probed lists are read) and
+    full-probe results must equal brute force."""
+    import numpy as np
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_search,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 12)).round(3)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    d = str(tmp_path / "ivf")
+    build_ivf_index(emb, d, n_centroids=8)
+    q = [float(x) for x in vecs[5]]
+
+    probed = ivf_search(spark, d, q, k=10, n_probe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan
+    # probed partitions only: fewer input files than lists exist
+    exact = ivf_search(spark, d, q, k=10, n_probe=8, round_to=6).collect()
+    brute = cosine_topk(emb, q, k=10, round_to=6).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in exact] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+    # low-probe search finds the query vector itself (it's in the top list)
+    top = probed.collect()
+    assert top and top[0]["vec_id"] == 5 and abs(top[0]["cosine"] - 1.0) < 1e-6
