@@ -326,47 +326,69 @@ def embedding_cosine_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    block_rows: int = 200_000,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine(vec_a, vec_b) >= threshold —
-    exact, one scan of the table.
+    exact, fully distributed: NO driver-side materialization of the table.
 
-    The full L2-normalized matrix is broadcast to every partition, which
-    then emits its local rows' qualifying pairs from one numpy matmul —
-    no crossJoin row explosion, no shuffle before the (tiny) result.
-    Broadcasting the matrix caps this at ~10M vectors; above that,
-    pre-bucket with :func:`clinical_trial_searchengine_spark.operators.\
-similarity.hyperplane_bucket_udf` and run this exact kernel per bucket
-    (same join-then-verify shape as MinHash+LSH).
+    Block-pair plan: rows hash into B = ceil(n / block_rows) blocks; every
+    unordered block pair (i <= j) is one ``applyInPandas`` task computing a
+    single cross-block numpy matmul.  Each row is shuffled to the B pairs
+    containing its block, so shuffle volume is B x data — the inherent cost
+    of EXACT all-pairs at scale (B stays small because block_rows is sized
+    to executor memory: two 200k x 768-dim float64 blocks = ~2.4 GiB/task).
+    For near-dup mining where approximate candidates are fine, prefilter
+    with MinHash/LSH or :func:`...similarity.hyperplane_bucket_udf` and run
+    this operator per bucket instead.
     """
-    spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids_all = np.asarray([r[id_col] for r in rows], dtype=np.int64)
-    M = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-    # broadcast pre-sorted by id: workers never copy/re-sort the matrix
-    order = np.argsort(ids_all)
-    b_ids = spark.sparkContext.broadcast(ids_all[order])
-    b_m = spark.sparkContext.broadcast(np.ascontiguousarray(M[order]))
+    if n_blocks is None:
+        n_rows = emb.select(id_col).count()
+        n_blocks = max(1, -(-n_rows // block_rows))
+    B = int(n_blocks)
 
-    def part(batches):
-        gids, M_g = b_ids.value, b_m.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
-            S = V @ M_g.T  # local x global
-            li, gj = np.nonzero(S >= threshold)
-            keep = ids[li] < gids[gj]  # dedupe + drop self-pairs
-            yield pd.DataFrame(
-                {
-                    "id_a": ids[li][keep],
-                    "id_b": gids[gj][keep],
-                    "cosine": np.round(S[li, gj][keep], round_to),
-                }
-            )
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        if pdf.empty:
+            return empty
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        M = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        if bi == bj:
+            S = M @ M.T
+            ai, bj_ = np.nonzero(S >= threshold)
+            keep = ids[ai] < ids[bj_]
+            ia, ib, s = ids[ai][keep], ids[bj_][keep], S[ai, bj_][keep]
+        else:
+            left = pdf["_b"].to_numpy() == bi
+            A, Bm = M[left], M[~left]
+            ida, idb = ids[left], ids[~left]
+            if not len(A) or not len(Bm):
+                return empty
+            S = A @ Bm.T
+            ai, bj_ = np.nonzero(S >= threshold)
+            x, y, s = ida[ai], idb[bj_], S[ai, bj_]
+            ia, ib = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame(
+            {"id_a": ia, "id_b": ib, "cosine": np.round(s, round_to)}
+        )
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        part, "id_a long, id_b long, cosine double"
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_b"),
+    )
+    # replicate each row to every block pair containing its block:
+    # (min(b,o), max(b,o)) over o in [0, B) — exactly once per pair
+    tagged = (
+        base.withColumn("_o", F.explode(F.expr(f"sequence(0, {B - 1})")))
+        .withColumn("_pi", F.least("_b", "_o"))
+        .withColumn("_pj", F.greatest("_b", "_o"))
+        .drop("_o")
+    )
+    return tagged.groupBy("_pi", "_pj").applyInPandas(
+        kernel, "id_a long, id_b long, cosine double"
     )

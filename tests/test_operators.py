@@ -184,3 +184,50 @@ def test_ivf_materialized_index_prunes_partitions(spark, tmp_path):
     # low-probe search finds the query vector itself (it's in the top list)
     top = probed.collect()
     assert top and top[0]["vec_id"] == 5 and abs(top[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_embedding_dedup_block_pairs_no_driver_collect(spark, monkeypatch):
+    """The block-pair plan must be exact across MULTIPLE blocks and must
+    never materialize the embedding table on the driver (DataFrame.collect
+    is forbidden while the operator builds its plan)."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from clinical_trial_searchengine_spark.operators.dedup import (
+        embedding_cosine_duplicates,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 6))
+    rows = []
+    for i in range(48):  # 6 noisy copies of each of 8 prototypes
+        v = base[i % 8] + rng.standard_normal(6) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    real_collect = DataFrame.collect
+
+    def forbidden(self, *a, **k):
+        raise AssertionError("driver-side collect inside dedup operator")
+
+    monkeypatch.setattr(DataFrame, "collect", forbidden)
+    try:
+        out = embedding_cosine_duplicates(df, threshold=0.9, n_blocks=4)
+    finally:
+        monkeypatch.setattr(DataFrame, "collect", real_collect)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()
+    }
+    # numpy ground truth
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    exp = {}
+    for i in range(48):
+        for j in range(i + 1, 48):
+            if S[i, j] >= 0.9:
+                exp[(i, j)] = round(S[i, j], 6)
+    assert set(got) == set(exp)
+    for k_, v in exp.items():
+        assert abs(got[k_] - v) <= 1e-9
+    assert len(exp) > 40  # prototypes actually cluster
