@@ -347,7 +347,7 @@ def embedding_cosine_duplicates(
         n_blocks = max(1, -(-n_rows // block_rows))
     B = int(n_blocks)
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, pdf):
         bi, bj = int(key[0]), int(key[1])
         empty = pd.DataFrame(
             {"id_a": [], "id_b": [], "cosine": []}

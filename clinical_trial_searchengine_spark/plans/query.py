@@ -76,22 +76,30 @@ def _topk_from_scores(acc, base, k):
     )
 
 
-def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k):
-    """Vectorized per-shard kernel: decode-all, accumulate, bounded top-k.
+def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
+                            bases=None, dfs=None):
+    """Vectorized per-(gen, shard) kernel: decode-all, accumulate, bounded
+    top-k.
 
     O(total postings) numpy work; no per-posting Python.  This is the default
     because vectorized exhaustive scoring beats pointer-chasing WAND in
     Python for all but extremely selective queries.
+
+    ``bases``: {gen: global doc_id offset} for delta-generation indexes
+    (gen-local ids are globalized as base + local).  ``dfs``: {term: GLOBAL
+    df} — required for multi-generation indexes where the per-generation
+    postings row df is stale; None -> use the row's df (single-gen exact).
     """
     terms_sorted = sorted(qtf)
+    bases = bases or {0: 0}
 
     def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
         if p_pdf.empty or n_pdf.empty:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
-        shard = int(key[0])
-        base = shard * shard_size
+        gen, shard = int(key[0]), int(key[1])
+        base = shard * shard_size  # gen-LOCAL shard base (norms/postings ids)
         dl = _norms_dl(n_pdf)
         acc = np.zeros(dl.size, dtype=np.float64)
         by_term = {r.term: r for r in p_pdf.itertuples()}
@@ -99,18 +107,20 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k):
             row = by_term.get(term)
             if row is None:
                 continue
+            df = dfs[term] if dfs is not None else row.df
             ids, tfs = decode_postings(bytes(row.postings))
             off = (ids - np.uint64(base)).astype(np.int64)
             Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
-            acc[off] += (qtf[term] * _idf(N, row.df)) * (
+            acc[off] += (qtf[term] * _idf(N, df)) * (
                 tfs.astype(np.float64) / (tfs + Kd)
             )
-        return _topk_from_scores(acc, base, k)
+        return _topk_from_scores(acc, base + bases[gen], k)
 
     return kernel
 
 
-def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k):
+def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k,
+                      bases=None, dfs=None):
     """Block-max WAND per-shard kernel (north rule; SURVEY.md §2.8-B6).
 
     Term upper bound uses dl->0, which is STRICTLY above any achievable
@@ -120,6 +130,7 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k):
     decoding; per-block max_tf refines the bound.
     """
     terms_sorted = sorted(qtf)
+    bases = bases or {0: 0}
 
     class TermState:
         __slots__ = (
@@ -190,7 +201,7 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k):
         )
         if p_pdf.empty or n_pdf.empty:
             return empty
-        shard = int(key[0])
+        gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size
         dl = _norms_dl(n_pdf)
 
@@ -200,7 +211,7 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k):
             row = by_term.get(term)
             if row is None:
                 continue
-            w = qtf[term] * _idf(N, row.df)
+            w = qtf[term] * _idf(N, dfs[term] if dfs is not None else row.df)
             st = TermState(term, w, bytes(row.postings))
             if st.n:
                 # strict UB: dl -> 0 (never achieved; dl >= 1 for matches)
@@ -257,7 +268,7 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k):
         out = sorted(heap, key=lambda e: (-e[0], -e[1]))
         return pd.DataFrame(
             {
-                "doc_id": [-d for _, d in out],
+                "doc_id": [bases[gen] - d for _, d in out],
                 "score": [s for s, _ in out],
             }
         ).astype({"doc_id": "int64", "score": "float64"})
@@ -273,25 +284,110 @@ def analyze_query(query_text: str, mode: str) -> Counter:
 class IndexHandle:
     """Opened index: meta + lazily-read postings/norms DataFrames, shared
     across queries.  ``warm()`` persists both (norms are small; postings fit
-    memory at sandbox scale — on a cluster, warm only norms)."""
+    memory at sandbox scale — on a cluster, warm only norms).
+
+    Delta generations: when ``generations.json`` exists, postings/norms are
+    the union of every generation's segments tagged with a ``gen`` column,
+    meta's num_docs/avg_doc_len come from the MERGED stats table, and
+    per-term GLOBAL df is looked up in the merged term_stats (pruned to the
+    query terms — a tiny parquet scan).  Scores are then exactly the scores
+    a full rebuild would produce; only internal doc_id assignment (and thus
+    score-tie order) differs."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
         self.meta = seg.read_meta(index_dir)
-        self.postings = spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS))
-        self.norms = spark.read.parquet(seg.path_of(index_dir, seg.NORMS))
+        gens = seg.read_generations(index_dir)
+        self.multi_gen = bool(gens) and len(gens) > 1
+        if self.multi_gen:
+            self.bases = {int(g["gen"]): int(g["base"]) for g in gens}
+            p_parts, n_parts = [], []
+            for g in gens:
+                d = seg.gen_dir(index_dir, int(g["gen"]))
+                tag = F.lit(int(g["gen"])).alias("gen")
+                p_parts.append(
+                    spark.read.parquet(seg.path_of(d, seg.POSTINGS))
+                    .withColumn("gen", tag)
+                )
+                n_parts.append(
+                    spark.read.parquet(seg.path_of(d, seg.NORMS))
+                    .withColumn("gen", tag)
+                )
+            self.postings = p_parts[0]
+            self.norms = n_parts[0]
+            for p, n in zip(p_parts[1:], n_parts[1:]):
+                self.postings = self.postings.unionByName(p)
+                self.norms = self.norms.unionByName(n)
+            merged = spark.read.parquet(
+                seg.path_of(index_dir, seg.STATS_MERGED)
+            ).collect()[0]
+            self.meta = {
+                **self.meta,
+                "num_docs": int(merged["num_docs"]),
+                "avg_doc_len": float(merged["avg_doc_len"] or 0.0),
+                "total_terms": int(merged["total_terms"] or 0),
+            }
+            self._gens = gens
+        else:
+            self.bases = {0: 0}
+            self._gens = None
+            self.postings = spark.read.parquet(
+                seg.path_of(index_dir, seg.POSTINGS)
+            ).withColumn("gen", F.lit(0))
+            self.norms = spark.read.parquet(
+                seg.path_of(index_dir, seg.NORMS)
+            ).withColumn("gen", F.lit(0))
         self.warmed = False
 
+    def global_dfs(self, terms) -> dict[str, int] | None:
+        """{term: GLOBAL df} from the merged term_stats — only needed (and
+        only paid: one term-pruned scan of a terms-level table) when the
+        index has delta generations; single-gen rows already carry exact
+        global df."""
+        if not self.multi_gen:
+            return None
+        rows = (
+            self.spark.read.parquet(
+                seg.path_of(self.index_dir, seg.TERM_STATS_MERGED)
+            )
+            .where(F.col("term").isin(list(terms)))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def doc_meta_df(self) -> DataFrame:
+        """doc_meta across generations with GLOBAL doc_ids."""
+        if not self.multi_gen:
+            return self.spark.read.parquet(
+                seg.path_of(self.index_dir, seg.DOC_META)
+            )
+        parts = []
+        for g in self._gens:
+            d = seg.gen_dir(self.index_dir, int(g["gen"]))
+            parts.append(
+                self.spark.read.parquet(seg.path_of(d, seg.DOC_META))
+                .withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(int(g["base"]))
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def warm(self, postings: bool = True) -> "IndexHandle":
-        """Persist both sides CO-PARTITIONED by shard: the per-query cogroup
-        then reuses the cached HashPartitioning(shard) and runs with zero
+        """Persist both sides CO-PARTITIONED by (gen, shard): the per-query
+        cogroup then reuses the cached partitioning and runs with zero
         exchanges — the query job is scan(filter terms) -> kernel -> top-k."""
-        n = max(1, int(self.meta["n_shards"]))
-        self.norms = self.norms.repartition(n, "shard").persist()
+        n = max(1, int(self.meta["n_shards"])) * max(1, len(self.bases))
+        self.norms = self.norms.repartition(n, "gen", "shard").persist()
         self.norms.count()
         if postings:
-            self.postings = self.postings.repartition(n, "shard").persist()
+            self.postings = self.postings.repartition(
+                n, "gen", "shard"
+            ).persist()
             self.postings.count()
             self.warmed = True
         return self
@@ -307,6 +403,7 @@ def _scored_df(handle: IndexHandle, qtf: dict, k: int, use_wand: bool) -> DataFr
     kernel = make(
         dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
         meta["k1"], meta["b"], meta["shard_size"], k,
+        bases=handle.bases, dfs=handle.global_dfs(qtf),
     )
     postings = handle.postings.where(F.col("term").isin(list(qtf)))
     if handle.warmed:
@@ -315,11 +412,13 @@ def _scored_df(handle: IndexHandle, qtf: dict, k: int, use_wand: bool) -> DataFr
         norms = handle.norms
     else:
         # cold path (cluster scale): prune norm chunks to shards with hits
-        hit_shards = postings.select("shard").distinct()
-        norms = handle.norms.join(F.broadcast(hit_shards), "shard", "left_semi")
+        hit_shards = postings.select("gen", "shard").distinct()
+        norms = handle.norms.join(
+            F.broadcast(hit_shards), ["gen", "shard"], "left_semi"
+        )
     return (
-        postings.groupby("shard")
-        .cogroup(norms.groupby("shard"))
+        postings.groupby("gen", "shard")
+        .cogroup(norms.groupby("gen", "shard"))
         .applyInPandas(kernel, _RESULT_SCHEMA)
     )
 
@@ -374,7 +473,7 @@ def search(
         scored = _scored_df(handle, qtf, k, use_wand)
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if include_meta:
-        dm = spark.read.parquet(seg.path_of(index_dir, seg.DOC_META))
+        dm = handle.doc_meta_df()
         topk = (
             dm.join(F.broadcast(topk), "doc_id")
             .select("doc_id", "score", "repo", "path", "commit", "lang")
@@ -399,7 +498,8 @@ def search_all(
 
 
 def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
-                       b: float, shard_size: int, k: int):
+                       b: float, shard_size: int, k: int,
+                       bases=None, dfs=None):
     """Multi-query per-shard kernel: decode each needed posting list ONCE,
     accumulate into one score vector per query, bounded top-k per query.
 
@@ -409,6 +509,7 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
     queries instead of paying it per query."""
     # term -> [(query_id, qtf*idf placeholder computed with df later)]
     all_terms = sorted({t for q in queries.values() for t in q})
+    bases = bases or {0: 0}
 
     def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -416,7 +517,7 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
         ).astype({"query_id": "str", "doc_id": "int64", "score": "float64"})
         if p_pdf.empty or n_pdf.empty:
             return empty
-        shard = int(key[0])
+        gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size
         dl = _norms_dl(n_pdf)
         by_term = {r.term: r for r in p_pdf.itertuples()}
@@ -429,8 +530,10 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
             ids, tfs = decode_postings(bytes(row.postings))
             off = (ids - np.uint64(base)).astype(np.int64)
             Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
-            contrib[term] = (off, tfs.astype(np.float64) / (tfs + Kd),
-                             _idf(N, row.df))
+            contrib[term] = (
+                off, tfs.astype(np.float64) / (tfs + Kd),
+                _idf(N, dfs[term] if dfs is not None else row.df),
+            )
         frames = []
         for qid, qtf in queries.items():
             acc = np.zeros(dl.size, dtype=np.float64)
@@ -440,7 +543,7 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
                     continue
                 off, norm_tf, idf = c
                 acc[off] += (qtf[term] * idf) * norm_tf
-            top = _topk_from_scores(acc, base, k)
+            top = _topk_from_scores(acc, base + bases[gen], k)
             if len(top):
                 top.insert(0, "query_id", qid)
                 frames.append(top)
@@ -475,20 +578,23 @@ def search_many(
         return spark.createDataFrame(
             [], "query_id string, doc_id long, score double, rank int"
         )
+    terms = sorted({t for q in queries.values() for t in q})
     kernel = _make_batch_kernel(
         queries, meta["num_docs"], meta["avg_doc_len"] or 1.0,
         meta["k1"], meta["b"], meta["shard_size"], k,
+        bases=handle.bases, dfs=handle.global_dfs(terms),
     )
-    terms = sorted({t for q in queries.values() for t in q})
     postings = handle.postings.where(F.col("term").isin(terms))
     if handle.warmed:
         norms = handle.norms
     else:
-        hit_shards = postings.select("shard").distinct()
-        norms = handle.norms.join(F.broadcast(hit_shards), "shard", "left_semi")
+        hit_shards = postings.select("gen", "shard").distinct()
+        norms = handle.norms.join(
+            F.broadcast(hit_shards), ["gen", "shard"], "left_semi"
+        )
     scored = (
-        postings.groupby("shard")
-        .cogroup(norms.groupby("shard"))
+        postings.groupby("gen", "shard")
+        .cogroup(norms.groupby("gen", "shard"))
         .applyInPandas(kernel, "query_id string, doc_id long, score double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -42,6 +42,32 @@ NORMS = "norms"
 MANIFEST = "manifest"
 METRICS = "metrics"
 
+# -- delta generations (incremental indexing) --------------------------------
+# generation 0 lives at the index root (backward compatible); generation K>0
+# is a full, independently-resumable segment set over ONLY its delta rows at
+# index_dir/gen=K/ with doc_ids offset by `base` at query time.  Exact global
+# BM25 stats live in the merged tables below, refreshed on every append.
+GENERATIONS = "generations.json"
+TERM_STATS_MERGED = "term_stats_merged"
+STATS_MERGED = "stats_merged"
+
+
+def gen_dir(index_dir: str, gen: int) -> str:
+    return index_dir if gen == 0 else os.path.join(index_dir, f"gen={gen}")
+
+
+def read_generations(index_dir: str) -> list[dict] | None:
+    """[{gen, num_docs, base}, ...] ordered by gen, or None (single-gen)."""
+    p = os.path.join(index_dir, GENERATIONS)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_generations(index_dir: str, gens: list[dict]) -> None:
+    write_meta_named(index_dir, gens, GENERATIONS)
+
 
 def path_of(index_dir: str, name: str) -> str:
     return os.path.join(index_dir, name)

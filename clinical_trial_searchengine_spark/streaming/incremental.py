@@ -1,50 +1,148 @@
-"""Idempotent incremental indexing (batch, manifest-driven).
+"""Idempotent incremental indexing via delta generations.
 
-v1 semantics: detect rows not yet indexed via an anti-join on the stable doc
-key; if any exist, rebuild the index over the full corpus (exact global
-stats require it — df/avgdl shift with every new doc, and BM25 with stale
-stats would silently diverge from the oracle).  The detection itself is the
-scalable part; generation-based delta segments with stats refresh are the
-planned v2 (requires a query-time segment-generation merge).
+v2 semantics (replaces the v1 full-rebuild): rows not yet indexed (anti-join
+on the stable (repo, path, commit) key against every generation's doc_meta)
+are built into a NEW generation — a full, independently manifest-resumable
+segment set over ONLY the delta at ``index_dir/gen=K/`` — and the exact
+global BM25 stats (num_docs, avg_doc_len, per-term df/cf) are re-merged into
+tiny top-level tables.  Queries union the generations' postings/norms and
+broadcast the merged stats, so scores are EXACTLY what a full rebuild would
+produce (only internal doc_id assignment, hence score-tie order, differs).
+
+At 100 TB this is the only viable shape: an append of 0.1% of the corpus
+costs one build over 0.1% of the rows plus a terms-level merge, instead of
+re-paying the whole build.  Compaction (rewriting many small generations
+into one) reuses ``build_index`` over the concatenated corpus — the
+``full_rebuild=True`` escape hatch below.
 
 Reference analogue: the scraper's resumable page_token upsert loop
 (reference: backend/db/scrape_clinical_trials.py:464-557) — new pages are
-merged into Postgres and a later full reindex refreshes OpenSearch.
+merged into Postgres and OpenSearch is refreshed, without re-scraping old
+pages.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from clinical_trial_searchengine_spark.plans import segments as seg
 from clinical_trial_searchengine_spark.plans.build import build_index
 
+_KEY = ["repo", "path", "commit"]
+
+
+def _merge_global_stats(spark: SparkSession, index_dir: str,
+                        gens: list[dict]) -> dict:
+    """Re-derive exact global stats from the per-generation tables (term-
+    and single-row-level inputs — cheap at any corpus size) and write the
+    merged tables the query path broadcasts."""
+    ts_parts = [
+        spark.read.parquet(
+            seg.path_of(seg.gen_dir(index_dir, int(g["gen"])), seg.TERM_STATS)
+        )
+        for g in gens
+    ]
+    ts = ts_parts[0]
+    for p in ts_parts[1:]:
+        ts = ts.unionByName(p)
+    (
+        ts.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .write.mode("overwrite")
+        .parquet(seg.path_of(index_dir, seg.TERM_STATS_MERGED))
+    )
+    st_parts = [
+        spark.read.parquet(
+            seg.path_of(seg.gen_dir(index_dir, int(g["gen"])), seg.STATS)
+        )
+        for g in gens
+    ]
+    st = st_parts[0]
+    for p in st_parts[1:]:
+        st = st.unionByName(p)
+    merged = st.agg(
+        F.sum("num_docs").alias("num_docs"),
+        F.sum("total_terms").alias("total_terms"),
+    ).select(
+        "num_docs",
+        (F.col("total_terms") / F.col("num_docs")).alias("avg_doc_len"),
+        "total_terms",
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        seg.path_of(index_dir, seg.STATS_MERGED)
+    )
+    row = spark.read.parquet(
+        seg.path_of(index_dir, seg.STATS_MERGED)
+    ).collect()[0]
+    return {
+        "num_docs": int(row["num_docs"]),
+        "avg_doc_len": float(row["avg_doc_len"] or 0.0),
+        "total_terms": int(row["total_terms"] or 0),
+    }
+
 
 def incremental_index(
-    spark: SparkSession, corpus: DataFrame, index_dir: str, **build_kwargs
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    full_rebuild: bool = False,
+    **build_kwargs,
 ) -> dict:
-    import os
-
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         out = build_index(spark, corpus, index_dir, **build_kwargs)
+        seg.write_generations(
+            index_dir,
+            [{"gen": 0, "num_docs": int(out["num_docs"]), "base": 0}],
+        )
         out["new_docs"] = out["num_docs"]
         return out
-    doc_meta = spark.read.parquet(seg.path_of(index_dir, seg.DOC_META))
-    new = corpus.join(
-        doc_meta.select("repo", "path", "commit"),
-        ["repo", "path", "commit"],
-        "left_anti",
-    )
-    n_new = new.count()
+
     meta = seg.read_meta(index_dir)
+    gens = seg.read_generations(index_dir) or [
+        {"gen": 0, "num_docs": int(meta["num_docs"]), "base": 0}
+    ]
+    seen = None
+    for g in gens:
+        dm = spark.read.parquet(
+            seg.path_of(seg.gen_dir(index_dir, int(g["gen"])), seg.DOC_META)
+        ).select(*_KEY)
+        seen = dm if seen is None else seen.unionByName(dm)
+    new = corpus.join(seen, _KEY, "left_anti")
+    n_new = new.count()
     if n_new == 0:
+        meta = dict(meta)
         meta["new_docs"] = 0
         return meta
-    # exact-stats rebuild (see module docstring); manifest is reset because
-    # doc_ids shift when the key set changes
-    import shutil
 
-    shutil.rmtree(index_dir)
-    out = build_index(spark, corpus, index_dir, **build_kwargs)
-    out["new_docs"] = n_new
-    return out
+    if full_rebuild:
+        # compaction / explicit rebuild: doc_ids reassigned globally
+        import shutil
+
+        shutil.rmtree(index_dir)
+        out = build_index(spark, corpus, index_dir, **build_kwargs)
+        seg.write_generations(
+            index_dir,
+            [{"gen": 0, "num_docs": int(out["num_docs"]), "base": 0}],
+        )
+        out["new_docs"] = n_new
+        return out
+
+    # delta generation: same analyzer/scoring/layout params as the parent
+    gen_k = max(int(g["gen"]) for g in gens) + 1
+    base = sum(int(g["num_docs"]) for g in gens)
+    forced = dict(build_kwargs)
+    for key in ("mode", "shard_size", "k1", "b", "norm_chunk"):
+        forced[key] = meta[key]
+    out = build_index(
+        spark, new, seg.gen_dir(index_dir, gen_k), **forced
+    )
+    gens = gens + [
+        {"gen": gen_k, "num_docs": int(out["num_docs"]), "base": base}
+    ]
+    merged = _merge_global_stats(spark, index_dir, gens)
+    seg.write_generations(index_dir, gens)
+    result = {**meta, **merged, "new_docs": n_new, "generations": len(gens)}
+    return result

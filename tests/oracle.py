@@ -51,6 +51,28 @@ class BM25Oracle:
         df = len(self.postings.get(term, ()))
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
+    def key_of(self, doc_id: int) -> tuple[str, str, str]:
+        row = self.corpus.iloc[doc_id]
+        return (row["repo"], row["path"], row["commit"])
+
+    def score_all(self, query_text: str) -> dict[int, float]:
+        """{doc_id: score} for EVERY matching doc — boundary-tie-free ground
+        truth for comparisons where internal doc_id assignment differs
+        (e.g. delta-generation indexes)."""
+        qtf = Counter(tokenize_text(query_text, self.mode))
+        scores: dict[int, float] = {}
+        for term in sorted(qtf):
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            w = qtf[term] * self.idf(term)
+            for doc_id, tf in plist:
+                Kd = self.k1 * (
+                    1.0 - self.b + self.b * self.doc_len[doc_id] / self.avgdl
+                )
+                scores[doc_id] = scores.get(doc_id, 0.0) + w * (tf / (tf + Kd))
+        return scores
+
     def search(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
         qtf = Counter(tokenize_text(query_text, self.mode))
         if not qtf:

@@ -58,16 +58,36 @@ def test_stream_ingest_builds_then_extends_index(spark, dirs):
     )
     assert meta2["num_docs"] == 120 and meta2["new_docs"] == 40
 
-    # the streamed-in index answers queries identically to the oracle
+    # the extension is a DELTA GENERATION, not a rebuild: gen 0's segments
+    # and generations.json must both exist
+    import os
+
+    assert os.path.exists(os.path.join(dirs["index"], "gen=1"))
+    assert meta2.get("generations") == 2
+
+    # the streamed-in index scores queries identically to the full-corpus
+    # oracle (compared by stable key: generation doc_ids are gen-local)
     import sys
 
     sys.path.insert(0, "tests")
     from oracle import BM25Oracle
 
     eng = SearchEngine(spark, dirs["index"])
-    got = eng.search_topk_rows("def license", 10)
-    exp = BM25Oracle(full).search("def license", 10)
-    assert [d for d, _ in got] == [d for d, _ in exp]
+    key_by_id = {
+        r["doc_id"]: (r["repo"], r["path"], r["commit"])
+        for r in eng.handle().doc_meta_df().collect()
+    }
+    got = {
+        key_by_id[r["doc_id"]]: r["score"]
+        for r in eng.search_all("def license").collect()
+    }
+    oracle = BM25Oracle(full)
+    exp = {
+        oracle.key_of(d): s for d, s in oracle.score_all("def license").items()
+    }
+    assert set(got) == set(exp)
+    for key, s in exp.items():
+        assert abs(got[key] - s) <= 1e-9, key
 
 
 def test_stream_windowed_counts_match_batch(spark, dirs):
