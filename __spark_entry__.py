@@ -688,6 +688,30 @@ def _q_eval_ir_means(spark, sf_dir):
     return ir_metrics_mean(run, qrels, k=10)
 
 
+def _q_split_bullets_udtf(spark, sf_dir):
+    """X3: stateful criteria splitter (header/bullet/continuation scanner ->
+    array<struct<type,seq,text>> + explode).  The documents text is single-
+    line, so a deterministic transform manufactures the line structure:
+    every 'scan'/'hash' token starts a new bullet line; the kernel then
+    parses it exactly like the reference's eligibility parser
+    (reference: backend/db/scrape_clinical_trials.py:133-181)."""
+    from clinical_trial_searchengine_spark.functions.splitter import (
+        explode_sections,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    structured = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("inclusion criteria:\n"),
+            F.regexp_replace(F.lower("text"), "(scan|hash)", "\n- $1"),
+        ).alias("blob"),
+    )
+    return explode_sections(structured, text_col="blob").select(
+        "doc_id", "type", "seq", F.col("text").alias("entry")
+    )
+
+
 def _q_hybrid_rank_rrf(spark, sf_dir):
     """Composed /rank lifecycle: BM25 leg + dense leg -> RRF
     (keep_only_first) -> min-max normalize -> blend -> top-k
@@ -752,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_topk_fetch": _q_semi_join_topk_fetch,
         "rrf_fusion": _q_rrf_fusion,
         "hybrid_rank_rrf": _q_hybrid_rank_rrf,
+        "split_bullets_udtf": _q_split_bullets_udtf,
         "minmax_norm": _q_minmax_norm,
         "window_rank": _q_window_rank,
         "eval_ir_metrics": _q_eval_ir_metrics,
@@ -1139,6 +1164,29 @@ WHERE len(list_intersect(list_distinct({_TOK}),
     sqls["engine_bm25_multifield"] = bm25_multifield_oracle_sql(
         _Q_TERMS, _MULTIFIELDS, k=10
     )
+    sqls["split_bullets_udtf"] = """
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '(scan|hash)', chr(10) || '- \\1', 'g') AS body
+  FROM documents WHERE doc_id < 500
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(body, chr(10))) AS line,
+         unnest(range(1, len(string_split(body, chr(10))) + 1)) AS pos
+  FROM s
+),
+entries AS (
+  SELECT doc_id, pos,
+         trim(CASE WHEN line LIKE '- %' THEN substr(line, 3) ELSE line END) AS entry
+  FROM lines
+  WHERE trim(line) <> ''
+)
+SELECT doc_id, 'inclusion' AS type,
+       row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq,
+       entry
+FROM entries
+"""
     sqls["hybrid_rank_rrf"] = f"""
 WITH sparse AS (
   SELECT doc_id, score,

@@ -27,9 +27,11 @@ Scale + performance notes (the part that matters at 10^12 docs):
   'trial') are salted into contiguous doc_id sub-ranges before the encode
   shuffle; only salted runs go through the merge kernel, everything else
   bypasses it.  Salted == unsalted output byte-identically (property-tested).
-* Per-term df/cf are computed globally BEFORE sharding and joined onto every
-  shard's rows — per-shard stats would silently change BM25 (SURVEY.md
-  §2.8-B5; the reference's single shard makes stats exact, ours must too).
+* Per-term df/cf are EXACT GLOBAL sums of the encode kernels' partial counts,
+  stored in the term_stats dictionary (never per-shard — per-shard stats
+  would silently change BM25, SURVEY.md §2.8-B5; the reference's single
+  shard makes stats exact, ours must too).  Postings rows don't repeat them:
+  query-time idf reads term_stats pruned to the query terms.
 * Resume: stage-grained manifest + per-shard-group postings writes, each
   group directory overwritten atomically (idempotent).  Reference analogue:
   page_token checkpoint (backend/db/scrape_clinical_trials.py:483-543).
@@ -288,13 +290,18 @@ def build_index(
       2. ONE tokenize pass (mapInPandas, persisted): flat (doc_id, term, tf)
          pairs + a per-doc NULL-term sentinel carrying doc_len — doc lengths
          never need their own shuffle,
-      3. term_stats: map-side-combined groupBy(term) over the cached pairs
-         (exact global df/cf; also drives the hot-term salt plan),
-      4. doc_meta scan: metadata + sha256 invariant column computed in the
+      3. doc_meta scan: metadata + sha256 invariant column computed in the
          same projection (no separate verification pass); doc_len joined
          from the sentinel rows (tiny join, no content),
+      4. hot-term salt plan from a SAMPLE of the cached pairs (salting is
+         performance-only; salted==unsalted is property-tested),
       5. the big shuffle: salted (shard, term_bucket, salt) encode,
-      6. postings written in a SINGLE job, dynamic-overwriting only the
+      6. EXACT global term_stats (df/cf) aggregated from the encode
+         output's partial counts — a terms-level relation, replacing v1's
+         full groupBy(term) shuffle over every pair; postings rows carry no
+         df/cf (format v2): query-time idf reads the term dictionary, the
+         Lucene term-metadata/posting-data split,
+      7. postings written in a SINGLE job, dynamic-overwriting only the
          resume groups still todo (group=g/shard=k layout unchanged).
     """
     t0 = time.time()
@@ -328,19 +335,8 @@ def build_index(
     doc_len_df = tokenized.where(F.col("term").isNull()).select(
         "doc_id", F.col("tf").alias("doc_len")
     )
-
-    # -- GLOBAL term stats (exact df/cf; map-side combine kills skew) -------
-    # This materializes the tokenize persist.
-    if ("term_stats", 0) not in done:
-        start = time.time()
-        pairs.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        ).write.mode("overwrite").parquet(seg.path_of(index_dir, seg.TERM_STATS))
-        seg.manifest_append(
-            spark, index_dir, "term_stats", 0, "done", started_at=start
-        )
-    term_stats = spark.read.parquet(seg.path_of(index_dir, seg.TERM_STATS))
-    t_cur = _tick("term_stats", t_cur)
+    tokenized.count()  # materialize the tokenize persist once
+    t_cur = _tick("tokenize", t_cur)
 
     # -- doc_meta: metadata + sha256 invariant in one scan; doc_len joined
     # from the cached sentinel rows (no content, no pair-level shuffle) ----
@@ -441,20 +437,33 @@ def build_index(
     n_shards = max(1, math.ceil(num_docs / shard_size))
     n_groups = max(1, min(n_resume_groups, n_shards))
     todo = [g for g in range(n_groups) if ("postings", g) not in done]
+    need_term_stats = ("term_stats", 0) not in done
     term_buckets = term_buckets or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
 
-    if todo:
-        # -- hot-term salt plan (explicit + logged, SURVEY.md §4.2) from the
-        # exact global term stats --
+    if todo or need_term_stats:
+        # -- hot-term salt plan (explicit + logged, SURVEY.md §4.2) from a
+        # SAMPLE of the pairs.  Salting is performance-only (salted ==
+        # unsalted byte-identically, property-tested), so estimated df is
+        # enough — this replaces round-1's full groupBy(term) pre-pass over
+        # every pair (a whole extra shuffle of the corpus-sized relation).
+        # Exact df/cf now fall out of the encode output below (B5 unchanged).
+        frac = min(1.0, 1000.0 / max(hot_df_threshold, 1))
+        sampled = pairs if frac >= 1.0 else pairs.sample(
+            fraction=frac, seed=42
+        )
         hot_rows = (
-            term_stats.where(F.col("df") > hot_df_threshold)
+            sampled.groupBy("term")
+            .agg((F.count("*") / F.lit(frac)).alias("df_est"))
+            .where(F.col("df_est") > hot_df_threshold)
             .select(
                 "term",
                 F.least(
                     F.lit(max_salts),
-                    F.ceil(F.col("df") / F.lit(hot_df_threshold)).cast("int"),
+                    F.ceil(F.col("df_est") / F.lit(hot_df_threshold)).cast(
+                        "int"
+                    ),
                 ).alias("n_salts"),
             )
             .collect()
@@ -488,62 +497,81 @@ def build_index(
             "shard int, term string, salt int, df_part long, cf_part long, "
             "n_blocks int, postings binary"
         )
+        # persisted: consumed by the term_stats aggregate AND the merge/write
         encoded = salted.groupBy("shard", "bucket", "salt").applyInPandas(
             _encode_bucket_group, enc_schema
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        # -- EXACT global term stats from the encode output (sums of the
+        # per-group partial df/cf) — a terms-level aggregate, thousands of
+        # times smaller than the pair-level relation it replaces.  Postings
+        # do NOT carry df/cf (format v2): query-time idf reads the term
+        # dictionary, like Lucene's term metadata vs posting data split.
+        if need_term_stats:
+            start = time.time()
+            (
+                encoded.groupBy("term")
+                .agg(
+                    F.sum("df_part").alias("df"),
+                    F.sum("cf_part").alias("cf"),
+                )
+                .write.mode("overwrite")
+                .parquet(seg.path_of(index_dir, seg.TERM_STATS))
+            )
+            seg.manifest_append(
+                spark, index_dir, "term_stats", 0, "done", started_at=start
+            )
+        # this tick includes materializing the encode persist (the stats
+        # aggregate is its first consumer)
+        t_cur = _tick("encode_term_stats", t_cur)
 
         merge_schema = "shard int, term string, n_blocks int, postings binary"
-        if hot_terms:
-            cold = encoded.where(~F.col("term").isin(hot_terms)).select(
-                "shard", "term", "n_blocks", "postings"
-            )
-            hot_merged = (
-                encoded.where(F.col("term").isin(hot_terms))
-                .groupBy("shard", "term")
-                .applyInPandas(_merge_group, merge_schema)
-            )
-            merged = cold.unionByName(hot_merged)
-        else:
-            merged = encoded.select("shard", "term", "n_blocks", "postings")
-        # persist POST-merge/join: the counts collect and the write job are
-        # the two consumers — caching `encoded` instead would re-run the
-        # hot-term merge kernel + stats join once per consumer
-        final = (
-            merged.join(term_stats, "term")
-            .select("shard", "term", "df", "cf", "n_blocks", "postings")
-            .withColumn("group", F.col("shard") % n_groups)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        t_cur = _tick("encode_plan", t_cur)
+        if todo:
+            if hot_terms:
+                cold = encoded.where(~F.col("term").isin(hot_terms)).select(
+                    "shard", "term", "n_blocks", "postings"
+                )
+                hot_merged = (
+                    encoded.where(F.col("term").isin(hot_terms))
+                    .groupBy("shard", "term")
+                    .applyInPandas(_merge_group, merge_schema)
+                )
+                merged = cold.unionByName(hot_merged)
+            else:
+                merged = encoded.select("shard", "term", "n_blocks", "postings")
+            final = merged.withColumn("group", F.col("shard") % n_groups)
 
-        # -- postings: ONE write job, dynamic-overwriting only todo groups
-        # (resume granularity preserved: layout is group=g/shard=k) --
-        start = time.time()
-        pending = final.where(F.col("group").isin(todo))
-        group_counts = {
-            r["group"]: r["n"]
-            for r in pending.groupBy("group")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        (
-            pending.repartition("shard")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("group", "shard")
-            .parquet(seg.path_of(index_dir, seg.POSTINGS))
-        )
-        for g in todo:
-            n_terms = int(group_counts.get(g, 0))
-            seg.manifest_append(
-                spark, index_dir, "postings", g, "done",
-                terms_out=n_terms, started_at=start,
+            # -- postings: ONE write job, dynamic-overwriting only todo
+            # groups (resume granularity preserved: group=g/shard=k) --
+            start = time.time()
+            pending = final.where(F.col("group").isin(todo)).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
-            seg.metrics_append(
-                spark, index_dir, [("postings", g, "rows", float(n_terms))]
+            group_counts = {
+                r["group"]: r["n"]
+                for r in pending.groupBy("group")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            (
+                pending.repartition("shard")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("group", "shard")
+                .parquet(seg.path_of(index_dir, seg.POSTINGS))
             )
-        final.unpersist()
+            for g in todo:
+                n_terms = int(group_counts.get(g, 0))
+                seg.manifest_append(
+                    spark, index_dir, "postings", g, "done",
+                    terms_out=n_terms, started_at=start,
+                )
+                seg.metrics_append(
+                    spark, index_dir, [("postings", g, "rows", float(n_terms))]
+                )
+            pending.unpersist()
+        encoded.unpersist()
     t_cur = _tick("postings_write", t_cur)
 
     # -- norms (doc_len arrays per shard chunk) --
@@ -573,7 +601,7 @@ def build_index(
         corpus.unpersist()
 
     meta = {
-        "format_version": 1,
+        "format_version": 2,  # v2: postings carry no df/cf; idf reads term_stats
         "mode": mode,
         "shard_size": shard_size,
         "n_shards": n_shards,

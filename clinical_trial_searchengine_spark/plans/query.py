@@ -339,23 +339,34 @@ class IndexHandle:
                 seg.path_of(index_dir, seg.NORMS)
             ).withColumn("gen", F.lit(0))
         self.warmed = False
+        self._df_cache: dict[str, int] = {}
+        self._df_preloaded = False
 
-    def global_dfs(self, terms) -> dict[str, int] | None:
-        """{term: GLOBAL df} from the merged term_stats — only needed (and
-        only paid: one term-pruned scan of a terms-level table) when the
-        index has delta generations; single-gen rows already carry exact
-        global df."""
-        if not self.multi_gen:
-            return None
-        rows = (
-            self.spark.read.parquet(
-                seg.path_of(self.index_dir, seg.TERM_STATS_MERGED)
-            )
-            .where(F.col("term").isin(list(terms)))
-            .select("term", "df")
-            .collect()
+    def _term_stats_path(self) -> str:
+        return seg.path_of(
+            self.index_dir,
+            seg.TERM_STATS_MERGED if self.multi_gen else seg.TERM_STATS,
         )
-        return {r["term"]: int(r["df"]) for r in rows}
+
+    def global_dfs(self, terms) -> dict[str, int]:
+        """{term: GLOBAL df} from the term dictionary (format v2: postings
+        carry no df — like Lucene's term-metadata/posting-data split).
+        Missing terms get df=0 entries so repeated no-hit terms don't re-pay
+        the lookup.  The lookup is a term-pruned scan of the terms-level
+        table (In(term) pushdown) and is cached per handle; ``warm()``
+        preloads the whole dictionary when it is small enough."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing and not self._df_preloaded:
+            rows = (
+                self.spark.read.parquet(self._term_stats_path())
+                .where(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache.get(t, 0) for t in terms}
 
     def doc_meta_df(self) -> DataFrame:
         """doc_meta across generations with GLOBAL doc_ids."""
@@ -377,10 +388,24 @@ class IndexHandle:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
-    def warm(self, postings: bool = True) -> "IndexHandle":
+    def warm(
+        self, postings: bool = True, preload_terms_cap: int = 2_000_000
+    ) -> "IndexHandle":
         """Persist both sides CO-PARTITIONED by (gen, shard): the per-query
         cogroup then reuses the cached partitioning and runs with zero
-        exchanges — the query job is scan(filter terms) -> kernel -> top-k."""
+        exchanges — the query job is scan(filter terms) -> kernel -> top-k.
+
+        Also preloads the term dictionary (term -> global df) into the
+        driver when it has <= ``preload_terms_cap`` entries, eliminating the
+        per-query df-lookup job; at web-scale vocabularies the cap keeps the
+        driver safe and lookups stay per-query term-pruned scans."""
+        ts = self.spark.read.parquet(self._term_stats_path())
+        if ts.count() <= preload_terms_cap:
+            self._df_cache = {
+                r["term"]: int(r["df"])
+                for r in ts.select("term", "df").collect()
+            }
+            self._df_preloaded = True
         n = max(1, int(self.meta["n_shards"])) * max(1, len(self.bases))
         self.norms = self.norms.repartition(n, "gen", "shard").persist()
         self.norms.count()

@@ -7,11 +7,14 @@ to an Iceberg table — the write calls are isolated in this module so swapping
     meta.json        analyzer mode, shard_size, bm25 params, counts
     doc_meta/        doc_id, repo, path, commit, lang, doc_len, content_sha256
     stats/           single row: num_docs, avg_doc_len, total_terms
-    term_stats/      term, df, cf  (GLOBAL stats — broadcast at query time;
-                     SURVEY.md §2.8-B5: stats must be exact global values)
-    postings/        shard=K/ ... term, df, cf, n_blocks, postings:binary
+    term_stats/      term, df, cf  (GLOBAL stats — the term dictionary,
+                     looked up term-pruned at query time; SURVEY.md §2.8-B5:
+                     stats must be exact global values)
+    postings/        shard=K/ ... term, n_blocks, postings:binary
                      (doc-sharded: shard = doc_id // shard_size; within each
-                     file sorted by term so parquet min/max prunes by term)
+                     file sorted by term so parquet min/max prunes by term;
+                     format v2 drops per-row df/cf — Lucene's
+                     term-metadata/posting-data split)
     norms/           shard, chunk, first_doc_id, n, doc_lens:binary(int32 LE)
     manifest/        stage, partition_id, status, rows_in, terms_out, sha_ok,
                      attempt, started_at, finished_at

@@ -60,16 +60,26 @@ def test_salting_equivalence(spark, small_corpus_df, tmp_path):
     SearchEngine(spark, d2).build(
         small_corpus_df, shard_size=64, hot_df_threshold=10**9
     )
-    cols = ["shard", "term", "df", "cf", "n_blocks", "postings"]
+    cols = ["shard", "term", "n_blocks", "postings"]
     p1 = {
-        (r["shard"], r["term"]): (r["df"], r["cf"], r["n_blocks"], bytes(r["postings"]))
+        (r["shard"], r["term"]): (r["n_blocks"], bytes(r["postings"]))
         for r in spark.read.parquet(seg.path_of(d1, seg.POSTINGS)).select(cols).collect()
     }
     p2 = {
-        (r["shard"], r["term"]): (r["df"], r["cf"], r["n_blocks"], bytes(r["postings"]))
+        (r["shard"], r["term"]): (r["n_blocks"], bytes(r["postings"]))
         for r in spark.read.parquet(seg.path_of(d2, seg.POSTINGS)).select(cols).collect()
     }
     assert p1 == p2
+    # exact global term stats identical regardless of salting
+    ts1 = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(seg.path_of(d1, seg.TERM_STATS)).collect()
+    }
+    ts2 = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(seg.path_of(d2, seg.TERM_STATS)).collect()
+    }
+    assert ts1 == ts2
     # salting actually happened
     metrics = spark.read.parquet(seg.path_of(d1, seg.METRICS))
     hot = metrics.where(F.col("metric") == "hot_terms").collect()[0]["value"]
@@ -79,11 +89,13 @@ def test_salting_equivalence(spark, small_corpus_df, tmp_path):
 
 
 def test_segment_schemas(built_index, spark):
-    """FIXTURES.md §5 schema assertions."""
+    """FIXTURES.md §5 schema assertions (format v2: postings carry no
+    df/cf; the term_stats dictionary is the idf source)."""
     d = built_index.index_dir
     postings = spark.read.parquet(seg.path_of(d, seg.POSTINGS))
-    for c in ["term", "df", "cf", "n_blocks", "postings", "shard"]:
+    for c in ["term", "n_blocks", "postings", "shard"]:
         assert c in postings.columns, c
+    assert "df" not in postings.columns and "cf" not in postings.columns
     dm = spark.read.parquet(seg.path_of(d, seg.DOC_META))
     assert {"doc_id", "repo", "path", "commit", "lang", "doc_len",
             "content_sha256"} <= set(dm.columns)
@@ -93,18 +105,11 @@ def test_segment_schemas(built_index, spark):
     assert s["num_docs"] == 200 and s["total_terms"] > 0
     ts = spark.read.parquet(seg.path_of(d, seg.TERM_STATS))
     assert {"term", "df", "cf"} <= set(ts.columns)
-    # global df consistency: postings df == term_stats df for every term
-    joined = (
-        postings.select("term", "df").distinct()
-        .join(ts.withColumnRenamed("df", "df2"), "term")
-        .where(F.col("df") != F.col("df2"))
-    )
-    assert joined.count() == 0
 
 
 def test_global_df_spans_shards(built_index, spark):
-    """df on every shard's row is the GLOBAL df (B5), i.e. >= shard-local
-    posting count and == sum over shards."""
+    """term_stats df is the GLOBAL df (B5): it equals the sum of decoded
+    posting lengths across every shard, never a per-shard count."""
     from clinical_trial_searchengine_spark.functions.codec import decode_postings
 
     postings = spark.read.parquet(
@@ -112,12 +117,19 @@ def test_global_df_spans_shards(built_index, spark):
     )
     rows = postings.where(F.col("term") == "def").collect()
     assert len(rows) > 1  # hot term present in several shards
-    local_total = 0
-    for r in rows:
-        ids, tfs = decode_postings(bytes(r["postings"]))
-        local_total += len(ids)
-        assert r["df"] >= len(ids)
-    assert all(r["df"] == local_total for r in rows)
+    local_total = sum(
+        len(decode_postings(bytes(r["postings"]))[0]) for r in rows
+    )
+    ts_df = (
+        spark.read.parquet(
+            seg.path_of(built_index.index_dir, seg.TERM_STATS)
+        )
+        .where(F.col("term") == "def")
+        .collect()[0]["df"]
+    )
+    assert ts_df == local_total > max(
+        len(decode_postings(bytes(r["postings"]))[0]) for r in rows
+    )
 
 
 def test_resume_skips_done_and_is_byte_identical(
@@ -155,7 +167,7 @@ def test_resume_skips_done_and_is_byte_identical(
 
     def snapshot(d):
         return {
-            (r["shard"], r["term"]): (r["df"], r["cf"], bytes(r["postings"]))
+            (r["shard"], r["term"]): bytes(r["postings"])
             for r in spark.read.parquet(seg.path_of(d, seg.POSTINGS)).collect()
         }
 
