@@ -210,6 +210,40 @@ def decode_block(
     return doc_ids, vals[bs : 2 * bs].astype(np.int64)
 
 
+def decode_blocks(
+    buf: bytes,
+    idxs,
+    n: int,
+    firsts: np.ndarray,
+    nbytes: np.ndarray,
+    offsets: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """Decode a SELECTED SUBSET of blocks in one varint pass.
+
+    ``idxs``: ascending block indices (from :func:`decode_directory`).
+    Returns (doc_ids uint64, tfs int64) concatenated in index order.  The
+    per-block work is one byte-slice + one small cumsum; the varint decode
+    over the concatenated payloads is a single vectorized call — this is
+    the selective-decode primitive for block-skip pruning.
+    """
+    idxs = list(idxs)
+    if not idxs:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    mv = memoryview(buf)
+    payload = b"".join(
+        mv[int(offsets[i]) : int(offsets[i]) + int(nbytes[i])] for i in idxs
+    )
+    vals = varint_decode(payload)
+    ids_parts, tf_parts, off = [], [], 0
+    for i in idxs:
+        bs = min(block_size, n - i * block_size)
+        ids_parts.append(firsts[i] + np.cumsum(vals[off : off + bs]))
+        tf_parts.append(vals[off + bs : off + 2 * bs].astype(np.int64))
+        off += 2 * bs
+    return np.concatenate(ids_parts), np.concatenate(tf_parts)
+
+
 def encode_postings_group(
     doc_ids: np.ndarray,
     tfs: np.ndarray,

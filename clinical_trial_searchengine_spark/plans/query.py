@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from clinical_trial_searchengine_spark.functions.analysis import tokenize_text
 from clinical_trial_searchengine_spark.functions.codec import (
     decode_block,
+    decode_blocks,
     decode_directory,
     decode_postings,
 )
@@ -114,6 +115,143 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             acc[off] += (qtf[term] * _idf(N, df)) * (
                 tfs.astype(np.float64) / (tfs + Kd)
             )
+        return _topk_from_scores(acc, base + bases[gen], k)
+
+    return kernel
+
+
+def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
+                        bases=None, dfs=None):
+    """Vectorized BLOCK-MAX PRUNED kernel: WAND-grade block skipping with no
+    per-posting Python (the scale answer to 'exhaustive decodes every
+    posting of every hot term'; complements §2.8-B6's doc-at-a-time WAND).
+
+    Safe two-phase plan, all numpy:
+
+      1. SEED: fully decode the highest-weight (w = qtf*idf, i.e. usually
+         rarest) term; theta = k-th largest seed contribution.  theta is a
+         LOWER bound on the true k-th best final score (every doc's final
+         score >= its seed contribution), so pruning strictly below theta
+         can never evict a true top-k doc — tie-exactness preserved.
+      2. BOUND + SKIP: per remaining term, per block, the contribution
+         upper bound ub = w * max_tf / (max_tf + k1*(1-b)) (dl -> 0: above
+         any achievable value) is painted onto the shard's doc space as a
+         step function (np.add.at + cumsum — one piecewise-constant profile
+         U(d)).  Doc d stays alive iff seed(d) + U(d) >= theta.  A block is
+         decoded iff its doc range contains ANY alive doc (prefix-sum
+         lookup); :func:`decode_blocks` batch-decodes the survivors.
+
+    Every alive doc receives ALL its contributions (its blocks always
+    contain an alive doc — itself), so the final accumulate — re-run in
+    term-sorted order over the decoded data for oracle bit-identity — is
+    exact for every candidate that can reach the top-k.
+    """
+    terms_sorted = sorted(qtf)
+    bases = bases or {0: 0}
+
+    def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        if p_pdf.empty or n_pdf.empty:
+            return empty
+        gen, shard = int(key[0]), int(key[1])
+        base = shard * shard_size
+        dl = _norms_dl(n_pdf)
+        by_term = {r.term: r for r in p_pdf.itertuples()}
+
+        # directories + weights
+        dirs = {}
+        for term in terms_sorted:
+            row = by_term.get(term)
+            if row is None:
+                continue
+            df = dfs[term] if dfs is not None else row.df
+            buf = bytes(row.postings)
+            n, firsts, max_tfs, nb, offs = decode_directory(buf)
+            if n:
+                dirs[term] = (qtf[term] * _idf(N, df), buf,
+                              n, firsts, max_tfs, nb, offs)
+        if not dirs:
+            return empty
+
+        # phase 1: seed = max-weight term, decoded fully
+        seed = max(dirs, key=lambda t: dirs[t][0])
+        w_s, buf_s, n_s, f_s, _, nb_s, of_s = dirs[seed]
+        ids_s, tfs_s = decode_postings(buf_s)
+        off_s = (ids_s - np.uint64(base)).astype(np.int64)
+        Kd = k1 * (1.0 - b + b * dl[off_s] / avgdl)
+        contrib_s = w_s * (tfs_s.astype(np.float64) / (tfs_s + Kd))
+        decoded = {seed: (off_s, tfs_s)}
+
+        others = [t for t in dirs if t != seed]
+        if not others:
+            # single matching term: seed contributions ARE the scores
+            acc = np.zeros(dl.size, dtype=np.float64)
+            acc[off_s] = contrib_s
+            return _topk_from_scores(acc, base + bases[gen], k)
+        if others:
+            if contrib_s.size >= k:
+                theta = float(
+                    np.partition(contrib_s, contrib_s.size - k)[
+                        contrib_s.size - k
+                    ]
+                )
+            else:
+                theta = -math.inf
+            # upper-bound profile over the shard's doc space
+            diff = np.zeros(dl.size + 1, dtype=np.float64)
+            seed_exact = np.zeros(dl.size, dtype=np.float64)
+            seed_exact[off_s] = contrib_s
+            for t in others:
+                w, _, n, firsts, max_tfs, _, _ = dirs[t]
+                mt = max_tfs.astype(np.float64)
+                ub = w * mt / (mt + k1 * (1.0 - b))
+                starts = np.clip(
+                    (firsts - np.uint64(base)).astype(np.int64), 0, dl.size
+                )
+                ends = np.empty_like(starts)
+                ends[:-1] = starts[1:]  # next block's first bounds the range
+                ends[-1] = dl.size
+                np.add.at(diff, starts, ub)
+                np.add.at(diff, ends, -ub)
+            alive = seed_exact + np.cumsum(diff[:-1]) >= theta
+            alive_prefix = np.concatenate(
+                ([0], np.cumsum(alive, dtype=np.int64))
+            )
+            for t in others:
+                w, buf, n, firsts, max_tfs, nb, offs = dirs[t]
+                starts = np.clip(
+                    (firsts - np.uint64(base)).astype(np.int64), 0, dl.size
+                )
+                ends = np.empty_like(starts)
+                ends[:-1] = starts[1:]
+                ends[-1] = dl.size
+                keep = np.flatnonzero(
+                    alive_prefix[ends] - alive_prefix[starts] > 0
+                )
+                if keep.size > 0.5 * len(firsts):
+                    # little to skip: one full-pass decode beats the
+                    # per-block selective loop (adaptive, measured)
+                    ids_t, tfs_t = decode_postings(buf)
+                else:
+                    ids_t, tfs_t = decode_blocks(
+                        buf, keep, n, firsts, nb, offs
+                    )
+                decoded[t] = (
+                    (ids_t - np.uint64(base)).astype(np.int64), tfs_t,
+                )
+
+        # final accumulate in term-sorted order == oracle summation order
+        acc = np.zeros(dl.size, dtype=np.float64)
+        for term in terms_sorted:
+            d = decoded.get(term)
+            if d is None or not len(d[0]):
+                continue
+            off, tfs = d
+            w = dirs[term][0]
+            Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
+            acc[off] += w * (tfs.astype(np.float64) / (tfs + Kd))
         return _topk_from_scores(acc, base + bases[gen], k)
 
     return kernel
@@ -422,9 +560,19 @@ class IndexHandle:
         self.postings.unpersist()
 
 
-def _scored_df(handle: IndexHandle, qtf: dict, k: int, use_wand: bool) -> DataFrame:
+_KERNELS = {
+    "exhaustive": _make_exhaustive_kernel,
+    "wand": _make_wand_kernel,
+    "pruned": _make_pruned_kernel,
+}
+
+
+def _scored_df(
+    handle: IndexHandle, qtf: dict, k: int, use_wand: bool,
+    kernel_name: str | None = None,
+) -> DataFrame:
     meta = handle.meta
-    make = _make_wand_kernel if use_wand else _make_exhaustive_kernel
+    make = _KERNELS[kernel_name or ("wand" if use_wand else "exhaustive")]
     kernel = make(
         dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
         meta["k1"], meta["b"], meta["shard_size"], k,
@@ -458,8 +606,14 @@ def search(
     filter_doc_ids: DataFrame | None = None,
     boost: DataFrame | None = None,
     handle: IndexHandle | None = None,
+    kernel: str | None = None,
 ) -> DataFrame:
     """Top-k BM25. Returns DataFrame (doc_id, score [, repo/path/...]).
+
+    ``kernel``: 'pruned' (default — vectorized block-max skip, the hot-term
+    scale path), 'exhaustive' (decode-everything), or 'wand' (doc-at-a-time
+    block-max WAND); all three are rank-identical (equivalence-tested).
+    Filter/boost paths always score exhaustively (they need every match).
 
     ``boost``: optional (doc_id, _boost) DataFrame — multiplicative
     function-score applied AFTER BM25, exact: all matches are scored and
@@ -495,7 +649,10 @@ def search(
                 filter_doc_ids.select("doc_id"), "doc_id", "left_semi"
             )
     else:
-        scored = _scored_df(handle, qtf, k, use_wand)
+        scored = _scored_df(
+            handle, qtf, k, use_wand,
+            kernel_name=kernel or ("wand" if use_wand else "pruned"),
+        )
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if include_meta:
         dm = handle.doc_meta_df()

@@ -46,6 +46,16 @@ def test_rank_identity_wand(built_index, oracle_standard):
         _assert_rank_identical(exp, got, q["query_id"])
 
 
+def test_rank_identity_pruned(built_index, oracle_standard):
+    """Vectorized block-max pruned kernel == exhaustive == oracle on the
+    whole reference set (bit-identical scores: same term-sorted summation
+    order after pruning)."""
+    for q in reference_queries():
+        exp = oracle_standard.search(q["text"], q["k"])
+        got = built_index.search_topk_rows(q["text"], q["k"], kernel="pruned")
+        _assert_rank_identical(exp, got, q["query_id"])
+
+
 def test_rank_identity_porter(built_index_porter, oracle_porter):
     for q in reference_queries():
         exp = oracle_porter.search(q["text"], q["k"])

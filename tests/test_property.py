@@ -125,3 +125,33 @@ def test_tokenize_invariants(text):
     assert len(porter) <= len(std)
     # determinism
     assert tokenize_text(text, "porter") == porter
+
+
+@given(_postings, st.sets(st.integers(min_value=0, max_value=50), max_size=8))
+@settings(**_SETTINGS)
+def test_decode_blocks_subset(pairs, idx_seed):
+    """decode_blocks over any ascending index subset == the corresponding
+    slices of the full decode."""
+    from clinical_trial_searchengine_spark.functions.codec import (
+        BLOCK_SIZE,
+        decode_blocks,
+    )
+
+    pairs.sort()
+    ids = np.asarray([p[0] for p in pairs], dtype=np.uint64)
+    tfs = np.asarray([p[1] for p in pairs], dtype=np.uint64)
+    buf, n_blocks = encode_postings(ids, tfs)
+    n, firsts, max_tfs, nbytes, offsets = decode_directory(buf)
+    idxs = sorted(i % max(n_blocks, 1) for i in idx_seed) if n_blocks else []
+    idxs = sorted(set(idxs))
+    got_ids, got_tfs = decode_blocks(buf, idxs, n, firsts, nbytes, offsets)
+    exp_ids, exp_tfs = [], []
+    for i in idxs:
+        lo, hi = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, n)
+        exp_ids.append(ids[lo:hi])
+        exp_tfs.append(tfs[lo:hi].astype(np.int64))
+    if idxs:
+        assert (got_ids == np.concatenate(exp_ids)).all()
+        assert (got_tfs == np.concatenate(exp_tfs)).all()
+    else:
+        assert got_ids.size == 0 and got_tfs.size == 0
