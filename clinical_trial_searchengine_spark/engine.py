@@ -27,6 +27,31 @@ class SearchEngine:
         self._handle = None  # segments changed
         return build_index(self.spark, corpus, self.index_dir, **kwargs)
 
+    def add_documents(self, corpus: DataFrame, **kwargs) -> dict:
+        """Fold new rows into the index as a delta generation (exact global
+        stats re-merged); no-op for already-indexed keys.  The reference's
+        upsert-then-refresh lifecycle
+        (reference: backend/db/scrape_clinical_trials.py:464-557)."""
+        from clinical_trial_searchengine_spark.streaming.incremental import (
+            incremental_index,
+        )
+
+        self._handle = None
+        return incremental_index(self.spark, corpus, self.index_dir, **kwargs)
+
+    def compact(self, corpus: DataFrame, **kwargs) -> dict:
+        """Rewrite all generations as one (full rebuild over the given
+        corpus — use when generation count grows enough to hurt query
+        fan-out)."""
+        from clinical_trial_searchengine_spark.streaming.incremental import (
+            incremental_index,
+        )
+
+        self._handle = None
+        return incremental_index(
+            self.spark, corpus, self.index_dir, full_rebuild=True, **kwargs
+        )
+
     @property
     def meta(self) -> dict:
         return read_meta(self.index_dir)

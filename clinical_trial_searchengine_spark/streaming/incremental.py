@@ -112,13 +112,10 @@ def incremental_index(
         seen = dm if seen is None else seen.unionByName(dm)
     new = corpus.join(seen, _KEY, "left_anti")
     n_new = new.count()
-    if n_new == 0:
-        meta = dict(meta)
-        meta["new_docs"] = 0
-        return meta
 
     if full_rebuild:
-        # compaction / explicit rebuild: doc_ids reassigned globally
+        # compaction / explicit rebuild: all generations rewritten as one,
+        # doc_ids reassigned globally (runs even with zero new docs)
         import shutil
 
         shutil.rmtree(index_dir)
@@ -129,6 +126,11 @@ def incremental_index(
         )
         out["new_docs"] = n_new
         return out
+
+    if n_new == 0:
+        meta = dict(meta)
+        meta["new_docs"] = 0
+        return meta
 
     # delta generation: same analyzer/scoring/layout params as the parent
     gen_k = max(int(g["gen"]) for g in gens) + 1

@@ -117,3 +117,24 @@ def test_multi_gen_topk_and_batch_paths(spark, corpora, tmp_path):
     # include_meta joins the generation-global doc_meta
     meta_rows = eng.search("def license", 5, include_meta=True).collect()
     assert len(meta_rows) == 5 and all(r["repo"] for r in meta_rows)
+
+
+def test_compact_collapses_generations(spark, corpora, tmp_path):
+    """engine.compact() rewrites all generations as one with identical
+    scores; add_documents is the incremental facade."""
+    part, full = corpora
+    d = str(tmp_path / "cmp")
+    eng = SearchEngine(spark, d)
+    eng.add_documents(part, shard_size=48)
+    eng.add_documents(full, shard_size=48)
+    assert len(seg.read_generations(d)) == 2
+    before = _key_scores(spark, d, "def license")
+
+    out = eng.compact(full, shard_size=48)
+    assert out["num_docs"] == 160
+    assert len(seg.read_generations(d)) == 1
+    assert not os.path.exists(os.path.join(d, "gen=1"))
+    after = _key_scores(spark, d, "def license")
+    assert set(before) == set(after)
+    for key, s in before.items():
+        assert abs(after[key] - s) <= TOL
