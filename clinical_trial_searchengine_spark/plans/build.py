@@ -281,6 +281,7 @@ def build_index(
     b: float = 0.75,
     verify_sha: bool = True,
     persist_input: bool = True,
+    pre_assigned: bool = False,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics dict.
 
@@ -314,12 +315,17 @@ def build_index(
 
     done = seg.manifest_done(spark, index_dir)
     t_cur = _tick("manifest_read", t0)
-    if persist_input:
+    if persist_input and not pre_assigned:
         corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
 
     has_sha = verify_sha and "content_sha256" in corpus.columns
 
-    docs = assign_doc_ids(corpus)  # persisted inside
+    if pre_assigned:
+        # caller already ran assign_doc_ids (e.g. multifield builds share
+        # ONE range shuffle of the corpus across all field sub-indexes)
+        docs = corpus
+    else:
+        docs = assign_doc_ids(corpus)  # persisted inside
     t_cur = _tick("assign_doc_ids", t_cur)
 
     # -- ONE tokenize pass: pairs + doc_len sentinels, persisted ------------
@@ -596,8 +602,9 @@ def build_index(
 
     t_cur = _tick("norms", t_cur)
     tokenized.unpersist()
-    docs._ctse_persisted.unpersist()
-    if persist_input:
+    if hasattr(docs, "_ctse_persisted"):
+        docs._ctse_persisted.unpersist()
+    if persist_input and not pre_assigned:
         corpus.unpersist()
 
     meta = {

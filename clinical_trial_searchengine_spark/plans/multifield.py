@@ -71,15 +71,23 @@ def build_multifield_index(
             raise ValueError(
                 f"content_sha256 invariant violated for {mism} rows"
             )
+    # ONE range shuffle of the corpus, shared by every field sub-index
+    # (assignment is key-deterministic, so this is an optimization, not a
+    # correctness requirement — property-tested in test_build_invariants).
+    from clinical_trial_searchengine_spark.plans.build import assign_doc_ids
+
+    assigned = assign_doc_ids(corpus)
     for name, expr in fields.items():
-        sub = corpus.withColumn("content", F.expr(expr))
+        sub = assigned.withColumn("content", F.expr(expr))
         if "content_sha256" in sub.columns and name not in identity_fields:
             # derived field text != source content: the sha invariant does
             # not apply to projections (checked above / by identity fields)
             sub = sub.drop("content_sha256")
         metas[name] = build_index(
-            spark, sub, field_dir(index_dir, name), **build_kwargs
+            spark, sub, field_dir(index_dir, name),
+            pre_assigned=True, **build_kwargs,
         )
+    assigned._ctse_persisted.unpersist()
     n0 = metas[first_field]["num_docs"]
     for name, m in metas.items():
         if m["num_docs"] != n0:
