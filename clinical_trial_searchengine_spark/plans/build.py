@@ -202,8 +202,8 @@ def _encode_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "shard": np.full(len(change), shard, dtype=np.int32),
             "term": terms[codes[change]],
             "salt": np.full(len(change), salt, dtype=np.int32),
-            "df_part": np.diff(bounds),
-            "cf_part": np.add.reduceat(tfs, change).astype(np.int64),
+            "n_postings": np.diff(bounds),
+            "cf_local": np.add.reduceat(tfs, change).astype(np.int64),
             "n_blocks": out_nb.astype(np.int32),
             "postings": list(out_post),
         }
@@ -222,6 +222,8 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
             {
                 "shard": [int(row["shard"])],
                 "term": [row["term"]],
+                "n_postings": [int(row["n_postings"])],
+                "cf_local": [int(row["cf_local"])],
                 "n_blocks": [int(row["n_blocks"])],
                 "postings": [row["postings"]],
             }
@@ -239,6 +241,8 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "shard": [int(pdf["shard"].iloc[0])],
             "term": [pdf["term"].iloc[0]],
+            "n_postings": [int(pdf["n_postings"].sum())],
+            "cf_local": [int(pdf["cf_local"].sum())],
             "n_blocks": [n_blocks],
             "postings": [buf],
         }
@@ -507,43 +511,31 @@ def build_index(
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
         )
         enc_schema = (
-            "shard int, term string, salt int, df_part long, cf_part long, "
-            "n_blocks int, postings binary"
+            "shard int, term string, salt int, n_postings long, "
+            "cf_local long, n_blocks int, postings binary"
         )
-        # persisted: consumed by the term_stats aggregate AND the merge/write
+        # DISK_ONLY persist: the cold/hot union below reads this twice, and
+        # without a persist the encode kernel would run once per branch.
+        # Disk (spark.local.dir) rather than memory: the unified memory
+        # manager can evict MEMORY_AND_DISK blocks under the write job's
+        # sort pressure and silently re-encode — measured as a 2x
+        # postings_write regression at higher parallelism.
         encoded = salted.groupBy("shard", "bucket", "salt").applyInPandas(
             _encode_bucket_group, enc_schema
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).persist(StorageLevel.DISK_ONLY)
 
-        # -- EXACT global term stats from the encode output (sums of the
-        # per-group partial df/cf) — a terms-level aggregate, thousands of
-        # times smaller than the pair-level relation it replaces.  Postings
-        # do NOT carry df/cf (format v2): query-time idf reads the term
-        # dictionary, like Lucene's term metadata vs posting data split.
-        if need_term_stats:
-            start = time.time()
-            (
-                encoded.groupBy("term")
-                .agg(
-                    F.sum("df_part").alias("df"),
-                    F.sum("cf_part").alias("cf"),
-                )
-                .write.mode("overwrite")
-                .parquet(seg.path_of(index_dir, seg.TERM_STATS))
-            )
-            seg.manifest_append(
-                spark, index_dir, "term_stats", 0, "done", started_at=start
-            )
-        # this tick includes materializing the encode persist (the stats
-        # aggregate is its first consumer)
-        t_cur = _tick("encode_term_stats", t_cur)
-
-        merge_schema = "shard int, term string, n_blocks int, postings binary"
+        merge_schema = (
+            "shard int, term string, n_postings long, cf_local long, "
+            "n_blocks int, postings binary"
+        )
+        out_cols = [
+            "shard", "term", "n_postings", "cf_local", "n_blocks", "postings",
+        ]
         if todo:
             if hot_terms:
-                cold = encoded.where(~F.col("term").isin(hot_terms)).select(
-                    "shard", "term", "n_blocks", "postings"
-                )
+                cold = encoded.where(
+                    ~F.col("term").isin(hot_terms)
+                ).select(*out_cols)
                 hot_merged = (
                     encoded.where(F.col("term").isin(hot_terms))
                     .groupBy("shard", "term")
@@ -551,29 +543,33 @@ def build_index(
                 )
                 merged = cold.unionByName(hot_merged)
             else:
-                merged = encoded.select("shard", "term", "n_blocks", "postings")
+                merged = encoded.select(*out_cols)
             final = merged.withColumn("group", F.col("shard") % n_groups)
 
-            # -- postings: ONE write job, dynamic-overwriting only todo
-            # groups (resume granularity preserved: group=g/shard=k) --
+            # -- postings: ONE job end-to-end (pairs -> salted encode ->
+            # merge -> shard layout -> parquet), dynamic-overwriting only
+            # todo groups (resume granularity: group=g/shard=k).  No persist
+            # of the encoded relation: every downstream statistic is derived
+            # from the WRITTEN files below with column pruning (term +
+            # per-shard counts only — the postings blobs are never re-read).
             start = time.time()
-            pending = final.where(F.col("group").isin(todo)).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            group_counts = {
-                r["group"]: r["n"]
-                for r in pending.groupBy("group")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
             (
-                pending.repartition("shard")
+                final.where(F.col("group").isin(todo))
+                .repartition("shard")
                 .sortWithinPartitions("term")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("group", "shard")
                 .parquet(seg.path_of(index_dir, seg.POSTINGS))
             )
+            written = spark.read.parquet(
+                seg.path_of(index_dir, seg.POSTINGS)
+            )
+            group_counts = {
+                r["group"]: r["n"]
+                for r in written.where(F.col("group").isin(todo))
+                .groupBy("group").agg(F.count("*").alias("n")).collect()
+            }
             for g in todo:
                 n_terms = int(group_counts.get(g, 0))
                 seg.manifest_append(
@@ -583,9 +579,32 @@ def build_index(
                 seg.metrics_append(
                     spark, index_dir, [("postings", g, "rows", float(n_terms))]
                 )
-            pending.unpersist()
+        t_cur = _tick("postings_write", t_cur)
+
+        # -- EXACT global term stats (df = Σ per-shard posting counts, cf =
+        # Σ per-shard tf sums) aggregated from the WRITTEN postings with
+        # column pruning — a terms-level read, no pair-level shuffle, no
+        # in-memory persist.  Covers ALL groups on disk, so a resumed build
+        # that crashed between postings and term_stats recovers here.
+        # Format v2: postings carry only per-shard partials; query-time idf
+        # reads this term dictionary (Lucene's term-metadata/posting split).
+        if need_term_stats:
+            start = time.time()
+            (
+                spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS))
+                .groupBy("term")
+                .agg(
+                    F.sum("n_postings").alias("df"),
+                    F.sum("cf_local").alias("cf"),
+                )
+                .write.mode("overwrite")
+                .parquet(seg.path_of(index_dir, seg.TERM_STATS))
+            )
+            seg.manifest_append(
+                spark, index_dir, "term_stats", 0, "done", started_at=start
+            )
         encoded.unpersist()
-    t_cur = _tick("postings_write", t_cur)
+    t_cur = _tick("term_stats", t_cur)
 
     # -- norms (doc_len arrays per shard chunk) --
     if ("norms", 0) not in done:
