@@ -138,3 +138,17 @@ def test_compact_collapses_generations(spark, corpora, tmp_path):
     assert set(before) == set(after)
     for key, s in before.items():
         assert abs(after[key] - s) <= TOL
+
+
+def test_multi_gen_warmed_handle(spark, corpora, tmp_path):
+    """warm() on a multi-generation index (co-partition by (gen, shard) +
+    merged-term-dictionary preload) must not change results."""
+    part, full = corpora
+    d = str(tmp_path / "warm")
+    incremental_index(spark, part, d, shard_size=48)
+    incremental_index(spark, full, d, shard_size=48)
+    eng = SearchEngine(spark, d)
+    cold = eng.search_topk_rows("def license", 10)
+    eng2 = SearchEngine(spark, d).warm(postings=True)
+    assert eng2.handle()._df_preloaded
+    assert eng2.search_topk_rows("def license", 10) == cold
