@@ -298,14 +298,16 @@ def build_index(
          from the sentinel rows (tiny join, no content),
       4. hot-term salt plan from a SAMPLE of the cached pairs (salting is
          performance-only; salted==unsalted is property-tested),
-      5. the big shuffle: salted (shard, term_bucket, salt) encode,
-      6. EXACT global term_stats (df/cf) aggregated from the encode
-         output's partial counts — a terms-level relation, replacing v1's
-         full groupBy(term) shuffle over every pair; postings rows carry no
-         df/cf (format v2): query-time idf reads the term dictionary, the
-         Lucene term-metadata/posting-data split,
-      7. postings written in a SINGLE job, dynamic-overwriting only the
-         resume groups still todo (group=g/shard=k layout unchanged).
+      5. the big shuffle + write: salted (shard, term_bucket, salt) encode
+         -> hot-term merge -> shard layout -> parquet, ONE job
+         (dynamic-overwriting only the resume groups still todo;
+         group=g/shard=k layout unchanged),
+      6. EXACT global term_stats (df = Σ per-shard posting counts, cf = Σ
+         per-shard tf sums) aggregated from the WRITTEN postings with
+         column pruning — a terms-level read replacing v1's full
+         groupBy(term) shuffle over every pair.  Postings rows carry only
+         per-shard partials (format v2): query-time idf reads the term
+         dictionary, the Lucene term-metadata/posting-data split.
     """
     t0 = time.time()
     stage_sec: dict[str, float] = {}
