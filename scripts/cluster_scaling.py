@@ -1,0 +1,288 @@
+"""N vs 4N EXECUTOR scaling on a real (single-host) Spark standalone cluster.
+
+The north rule's criterion is throughput scaling efficiency >= 0.8 going
+from N to 4N EXECUTORS via spark-submit.  local[1] -> local[4]
+(bench_scaling.py) approximates that with task threads inside ONE JVM —
+which adds a contention source a real cluster does not have: every task
+shares one driver-side heap, one GC, one code cache.  This script measures
+the rule's literal shape instead:
+
+* a standalone master + one 4-core worker are launched on this host
+  (spark-class org.apache.spark.deploy.{master.Master,worker.Worker});
+* the SAME build job is spark-submit'ted (--py-files ctse.zip, client
+  mode) twice per corpus size: spark.cores.max=1 (ONE 1-core executor
+  JVM) and spark.cores.max=4 (FOUR 1-core executor JVMs);
+* each executor is its own JVM with its own heap/GC and its own Python
+  workers, so going 1 -> 4 adds only what a real cluster adds: more
+  parallel kernels on the shared socket, plus network-free shuffle.
+
+Two corpus sizes per level, marginal throughput, min-merge across load
+windows — identical methodology to bench_scaling.py (see its docstring).
+Results land in BENCH/cluster_cells.json; --report-only prints the
+efficiency summary without running cells.
+
+Usage:
+  python scripts/cluster_scaling.py [--cells N] [--load-threshold L]
+  python scripts/cluster_scaling.py --report-only
+  python scripts/cluster_scaling.py --stop        # kill master/worker
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+import urllib.request
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from bench_scaling import _corpus_dir  # noqa: E402  (shared corpus cache)
+
+MASTER_URL = "spark://127.0.0.1:7077"
+MASTER_REST = "http://127.0.0.1:8091/json/"
+HIST = os.path.join(REPO, "BENCH", "cluster_cells.json")
+SIZES = (50_000, 200_000)
+EXECUTORS = (1, 4)
+ZIP_PATH = "/tmp/ctse_pkg.zip"
+PID_FILE = "/tmp/ctse_cluster_pids.json"
+
+
+def _spark_env() -> dict:
+    env = dict(os.environ)
+    env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    env.setdefault("SPARK_MASTER_HOST", "127.0.0.1")
+    return env
+
+
+def _spark_bin(name: str) -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", name)
+
+
+def load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def make_zip() -> None:
+    with zipfile.ZipFile(ZIP_PATH, "w", zipfile.ZIP_DEFLATED) as zf:
+        for path in glob.glob(
+            os.path.join(REPO, "clinical_trial_searchengine_spark", "**", "*.py"),
+            recursive=True,
+        ):
+            zf.write(path, os.path.relpath(path, REPO))
+
+
+def master_alive() -> dict | None:
+    try:
+        with urllib.request.urlopen(MASTER_REST, timeout=3) as r:
+            return json.load(r)
+    except Exception:
+        return None
+
+
+def start_cluster() -> None:
+    """Idempotently launch master (port 7077) + one 4-core worker."""
+    state = master_alive()
+    if state and any(
+        w.get("state") == "ALIVE" for w in state.get("workers", [])
+    ):
+        return
+    pids = {}
+    if not state:
+        m = subprocess.Popen(
+            [_spark_bin("spark-class"),
+             "org.apache.spark.deploy.master.Master",
+             "--host", "127.0.0.1", "--port", "7077",
+             "--webui-port", "8091"],
+            stdout=open("/tmp/ctse_master.log", "w"),
+            stderr=subprocess.STDOUT, env=_spark_env(),
+            start_new_session=True,
+        )
+        pids["master"] = m.pid
+        for _ in range(60):
+            if master_alive():
+                break
+            time.sleep(1)
+        else:
+            raise RuntimeError("master did not come up; /tmp/ctse_master.log")
+    w = subprocess.Popen(
+        [_spark_bin("spark-class"),
+         "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+         "--cores", "4", "--memory", "32g", "--webui-port", "8092"],
+        stdout=open("/tmp/ctse_worker.log", "w"),
+        stderr=subprocess.STDOUT, env=_spark_env(),
+        start_new_session=True,
+    )
+    pids["worker"] = w.pid
+    for _ in range(60):
+        state = master_alive()
+        if state and any(
+            wk.get("state") == "ALIVE" for wk in state.get("workers", [])
+        ):
+            break
+        time.sleep(1)
+    else:
+        raise RuntimeError("worker did not register; /tmp/ctse_worker.log")
+    with open(PID_FILE, "w") as f:
+        json.dump(pids, f)
+
+
+def stop_cluster() -> None:
+    if os.path.exists(PID_FILE):
+        with open(PID_FILE) as f:
+            pids = json.load(f)
+        for pid in pids.values():
+            try:
+                os.killpg(pid, signal.SIGTERM)
+            except Exception:
+                try:
+                    os.kill(pid, signal.SIGTERM)
+                except Exception:
+                    pass
+        os.remove(PID_FILE)
+
+
+def materialize_corpora() -> None:
+    missing = [n for n in SIZES if not os.path.exists(_corpus_dir(n))]
+    if not missing:
+        return
+    from clinical_trial_searchengine_spark.session import get_spark
+    from clinical_trial_searchengine_spark.sources.corpus import (
+        generate_corpus_df,
+    )
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in missing:
+        generate_corpus_df(spark, n, seed=42, partitions=64)\
+            .write.mode("overwrite").parquet(_corpus_dir(n))
+    spark.stop()
+
+
+def run_cell(n_execs: int, n_docs: int) -> dict | None:
+    index_dir = f"/dev/shm/ctse_cluster_idx_{n_execs}_{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cmd = [
+        _spark_bin("spark-submit"),
+        "--master", MASTER_URL,
+        "--deploy-mode", "client",
+        "--py-files", ZIP_PATH,
+        "--conf", f"spark.cores.max={n_execs}",
+        "--conf", "spark.executor.cores=1",
+        "--conf", "spark.executor.memory=6g",
+        "--conf", f"spark.sql.shuffle.partitions={max(n_execs, 4)}",
+        "--conf", "spark.locality.wait=0",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--conf", f"spark.local.dir=/dev/shm/ctse_spark_{os.getpid()}",
+        os.path.join(REPO, "scripts", "submit_build.py"),
+        "--input", _corpus_dir(n_docs),
+        "--index-dir", index_dir,
+        "--shard-size", "50000",
+        "--hot-df-threshold", str(max(1000, n_docs // 10)),
+    ]
+    t0 = time.time()
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         env=_spark_env(), cwd=REPO, timeout=3600)
+    wall = time.time() - t0
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    shutil.rmtree(index_dir, ignore_errors=True)
+    shutil.rmtree(f"/dev/shm/ctse_spark_{os.getpid()}", ignore_errors=True)
+    if not lines:
+        print("cell failed:", out.stderr[-800:], flush=True)
+        return None
+    meta = json.loads(lines[-1])
+    sec = round(meta["build_seconds"], 2)
+    return {
+        "executors": n_execs, "n_docs": n_docs, "build_sec": sec,
+        "build_docs_per_sec": round(n_docs / sec, 1),
+        "submit_wall_sec": round(wall, 2),
+    }
+
+
+def min_merge(got: dict) -> None:
+    cells = {}
+    if os.path.exists(HIST):
+        with open(HIST) as f:
+            cells = json.load(f)
+    key = f"{got['executors']}:{got['n_docs']}"
+    prev = cells.get(key)
+    if prev is None or got["build_sec"] < prev["build_sec"]:
+        cells[key] = got
+    os.makedirs(os.path.dirname(HIST), exist_ok=True)
+    with open(HIST, "w") as f:
+        json.dump(cells, f, indent=1)
+
+
+def report() -> dict | None:
+    if not os.path.exists(HIST):
+        return None
+    with open(HIST) as f:
+        cells = json.load(f)
+    need = [f"{e}:{n}" for e in EXECUTORS for n in SIZES]
+    if any(k not in cells for k in need):
+        print(json.dumps({"incomplete": True, "have": sorted(cells)}))
+        return None
+    small, big = SIZES
+    lo, hi = EXECUTORS
+    marg = {
+        e: (big - small)
+        / (cells[f"{e}:{big}"]["build_sec"] - cells[f"{e}:{small}"]["build_sec"])
+        for e in EXECUTORS
+    }
+    out = {
+        "cells": cells,
+        "marginal_docs_per_sec": {str(e): round(marg[e], 1) for e in EXECUTORS},
+        "speedup": round(marg[hi] / marg[lo], 3),
+        "scaling_efficiency": round(marg[hi] / marg[lo] / (hi / lo), 3),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, default=8,
+                    help="number of cell runs (round-robin, min-merged)")
+    ap.add_argument("--load-threshold", type=float, default=0.8)
+    ap.add_argument("--report-only", action="store_true")
+    ap.add_argument("--stop", action="store_true")
+    args = ap.parse_args()
+    if args.stop:
+        stop_cluster()
+        return
+    if args.report_only:
+        report()
+        return
+    materialize_corpora()
+    make_zip()
+    start_cluster()
+    order = [(e, n) for e in EXECUTORS for n in SIZES]
+    done = 0
+    while done < args.cells:
+        if load1() > args.load_threshold:
+            time.sleep(30)
+            continue
+        e, n = order[done % len(order)]
+        got = run_cell(e, n)
+        done += 1
+        if got:
+            min_merge(got)
+            print(json.dumps(got), flush=True)
+    report()
+
+
+if __name__ == "__main__":
+    main()
