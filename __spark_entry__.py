@@ -794,7 +794,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield": _q_bm25_multifield,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
         "multimodal_features": _q_multimodal_features,
+        **_feasibility_gates(),
     }
+
+
+def _feasibility_gates():
+    """X5-X13 criteria parsers + F8 feasibility filter + J6 profile×trial
+    scoring (reference: backend/nlp/criteria_parser.py,
+    feasibility_scorer.py, condition_normalizer.py; backend/api/main.py:
+    575-624)."""
+    from clinical_trial_searchengine_spark.operators.feasibility_gates import (
+        GATES,
+    )
+
+    return GATES
 
 
 # ---------------------------------------------------------------------------
@@ -1242,6 +1255,13 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.5
 """
+    # feasibility path (X5-X13 / F8 / J6): oracle SQL is GENERATED from the
+    # same regex constants the engine uses (operators/feasibility_gates.py)
+    from clinical_trial_searchengine_spark.operators.feasibility_gates import (
+        gate_oracles,
+    )
+
+    sqls.update(gate_oracles())
     # no oracle (rows-only driver check): simhash_pairs (md5 bit math not
     # SQL-practical), ann_cosine_lsh (probabilistic recall),
     # multimodal_features (stubbed decode)
