@@ -218,6 +218,7 @@ def match_dictionary(
     syn_df: DataFrame,
     kind: str,
     out_col: str | None = None,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """X7 — entity match against a synonym table (reference:
     criteria_parser.py:91-118).
@@ -227,28 +228,28 @@ def match_dictionary(
     whose any synonym word-bounded-matches the text, sorted for determinism.
     Biomarker keys are emitted with their suffix stripped (reference
     semantics).  Plan shape: broadcast nested-loop join on rlike (dict side
-    is KBs), then a single groupBy(doc) collect_set — one pass over the
-    corpus regardless of dictionary size.
+    is KBs), hit rows reduced to (id, key) BEFORE the aggregation shuffle —
+    the document text crosses no exchange — then the per-id key arrays join
+    back onto the input.  ``id_cols`` defaults to the first input column
+    (which must uniquely key ``df``).
     """
     out_col = out_col or f"{kind}s"
+    id_cols = id_cols or [df.columns[0]]
     syn = syn_df.where(F.col("kind") == kind).select(
         F.col("clean_key").alias("_k"),
         F.concat(F.lit(r"\b"), F.col("term_re"), F.lit(r"\b")).alias("_pat"),
     )
     t = F.lower(F.col(text_col))
-    joined = df.join(
-        F.broadcast(syn), F.regexp_like(t, F.col("_pat")), "left"
-    )
-    other = [c for c in df.columns]
-    agg = (
-        joined.groupBy(*other)
+    hits = (
+        df.join(F.broadcast(syn), F.regexp_like(t, F.col("_pat")), "inner")
+        .select(*id_cols, "_k")
+        .groupBy(*id_cols)
         .agg(F.array_sort(F.collect_set("_k")).alias(out_col))
-        .withColumn(
-            out_col,
-            F.filter(F.col(out_col), lambda x: x.isNotNull()),
-        )
     )
-    return agg
+    return df.join(hits, id_cols, "left").withColumn(
+        out_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+    )
 
 
 _LAB_OP_PAT = r"(>=|<=|>|<|≥|≤|greater than|less than|equals|up to)\s*(\d+(?:\.\d+)?)\s*([a-z/%µ]+)?"

@@ -193,6 +193,30 @@ def main() -> None:
             ("TakeOrderedAndProject", ["TakeOrderedAndProject"]),
         ],
     )
+    from clinical_trial_searchengine_spark.operators.feasibility_gates import (
+        q_feasibility_rank,
+    )
+
+    audit(
+        "Feasibility scoring pipeline (X5-X13 + J6 + F8)",
+        "The whole criteria-parse -> dictionary-match -> profile-score -> "
+        "filter pipeline must stay JVM-side: regex parsers are Column "
+        "expressions, the synonym dictionary is the BROADCAST side of the "
+        "joins, and the patient profile is folded into literals — at 10^12 "
+        "rows this is scan + broadcast joins + one aggregation, with no "
+        "Python worker anywhere (vs the reference's per-hit Python loop).",
+        q_feasibility_rank(spark, sf_dir),
+        [
+            ("no Python eval in the plan",
+             ["NO_BatchEvalPython", "NO_ArrowEvalPython"]),
+            ("dictionary joined via broadcast",
+             ["BroadcastNestedLoopJoin", "BroadcastExchange"]),
+            ("whole-stage codegen (the `*` marker in AQE final plans)",
+             ["WholeStageCodegen", "* Project", "* BroadcastHashJoin"]),
+        ],
+        execute=True,  # AQE: the broadcast conversions + codegen ids only
+        # appear on the final plan
+    )
     # -- write EXPLAIN.md ----------------------------------------------------
     out = ["# EXPLAIN — physical-plan audit of the scale-critical paths\n",
            "Generated by `python scripts/explain_audit.py` "
