@@ -257,6 +257,75 @@ def main() -> None:
     probe_rows = "\n".join(
         f"| {p} | {s} |" for p, s in probe.items()
     )
+    # optional sibling evidence: kernel hardware ceiling + executor scaling
+    ceiling_md = ""
+    ceil_path = os.path.join(REPO, "BENCH", "kernel_ceiling.json")
+    ceiling = None
+    if os.path.exists(ceil_path):
+        with open(ceil_path) as f:
+            ceiling = json.load(f)
+        crows = "\n".join(
+            f"| {p} | {s} |"
+            for p, s in ceiling["per_proc_sec"].items()
+        )
+        ceiling_md = f"""
+## Kernel hardware ceiling (scripts/kernel_ceiling_probe.py — no Spark)
+
+The build's dominant kernels (vectorized analyze + group posting encode)
+run in P fully independent OS processes, each on its own private
+{ceiling["n_docs_per_proc"]:,}-doc chunk: no JVM, no shuffle, no shared
+state.  Per-process slowdown at P>1 is pure hardware (memory bandwidth /
+LLC) and CAPS any 4-way-parallel execution of this workload on this box:
+
+| procs | per-proc sec (min over load windows) |
+|---|---|
+{crows}
+
+**Hardware ceiling at 4x: {ceiling["ceiling_eff_4x"]}** (at 8x:
+{ceiling["ceiling_eff_8x"]}).  Engine efficiency should be read against
+this ceiling, not against 1.0.
+"""
+    cluster_md = ""
+    cl_path = os.path.join(REPO, "BENCH", "cluster_cells.json")
+    cl_eff = None
+    if os.path.exists(cl_path):
+        with open(cl_path) as f:
+            cl = json.load(f)
+        need = [f"{e}:{n}" for e in (1, 4) for n in SIZES]
+        if all(k in cl for k in need):
+            cl_marg = {
+                e: (big - small) / (
+                    cl[f"{e}:{big}"]["build_sec"]
+                    - cl[f"{e}:{small}"]["build_sec"]
+                )
+                for e in (1, 4)
+            }
+            cl_eff = round(cl_marg[4] / cl_marg[1] / 4, 3)
+            clrows = "\n".join(
+                f"| {e} executor(s) | {n:,} | {cl[f'{e}:{n}']['build_sec']} "
+                f"| {cl[f'{e}:{n}']['build_docs_per_sec']} |"
+                for e in (1, 4) for n in SIZES
+            )
+            cluster_md = f"""
+## N vs 4N EXECUTORS — standalone cluster, spark-submit (the rule's shape)
+
+scripts/cluster_scaling.py launches a real Spark standalone master + one
+4-core worker on this host and spark-submits the SAME build
+(--py-files ctse.zip, client mode) with spark.cores.max=1 vs 4 at
+spark.executor.cores=1 — i.e. ONE vs FOUR executor JVMs, each with its
+own heap, GC, and Python workers.  Unlike local[N] threads, going 1 -> 4
+here adds only what a real cluster adds.  Same two-size marginal
+methodology, min-merged across load windows (BENCH/cluster_cells.json):
+
+| level | docs | build sec | raw docs/s |
+|---|---|---|---|
+{clrows}
+
+* Marginal build throughput: 1 executor = **{round(cl_marg[1], 1)}
+  docs/s**, 4 executors = **{round(cl_marg[4], 1)} docs/s** → speedup
+  {round(cl_marg[4] / cl_marg[1], 2)}x, **executor-scaling efficiency
+  {cl_eff}**.
+"""
     eff = summary["build_scaling_efficiency"]
     if eff >= 0.8:
         efficiency_note = (
@@ -267,16 +336,28 @@ def main() -> None:
             "round 1 at 0.649."
         )
     else:
+        ceil_txt = (
+            f"the measured no-Spark kernel ceiling is "
+            f"{ceiling['ceiling_eff_4x']} at 4x (section above), so the "
+            f"engine-attributable gap is {eff} vs {ceiling['ceiling_eff_4x']}"
+            if ceiling else
+            "run scripts/kernel_ceiling_probe.py for the hardware ceiling"
+        )
+        cl_txt = (
+            f"  On the standalone cluster (separate executor JVMs, the "
+            f"north rule's literal shape) executor-scaling efficiency is "
+            f"**{cl_eff}** — see the executors section above."
+            if cl_eff is not None else ""
+        )
         efficiency_note = (
-            f"Build marginal efficiency {eff} (round 1: 0.649; format v2 "
-            "removed the pair-level stats shuffle and the postings-side "
-            "stats join).  The residual gap to 0.8 is shared-socket memory "
-            "bandwidth: the dominant kernels (string tokenize, posting "
-            "encode) are bandwidth-heavy, and four local workers share one "
-            "memory controller — a ceiling a real 4N-executor cluster does "
-            "not have (each executor brings its own).  Query-side "
-            f"efficiency {summary['query_scaling_efficiency']} on the same "
-            "box shows the engine's partition design itself scales."
+            f"Build marginal efficiency {eff} under local-mode threads "
+            "(round 1: 0.649; format v2 removed the pair-level stats "
+            "shuffle and the postings-side stats join).  Part of the gap "
+            f"to 0.8 is shared-socket hardware: {ceil_txt}; the dominant "
+            "kernels (string tokenize, posting encode) are bandwidth-"
+            "heavy and four local workers share one memory controller — "
+            "a ceiling a real 4N-executor cluster does not have (each "
+            f"executor brings its own socket share).{cl_txt}"
         )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — measured engine numbers (this sandbox)
@@ -334,6 +415,7 @@ re-run across sessions and MIN-MERGED (BENCH/scaling_cells.json keeps the
 best observed time per cell; the min over many load windows estimates the
 unloaded cost).
 {efficiency_note}
+{ceiling_md}{cluster_md}
   The partition strategy itself has
 no single-node assumption: doc-range shards and term buckets grow with the
 input, hot terms are salted by measured df, global stats are broadcast
