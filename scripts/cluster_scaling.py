@@ -119,7 +119,7 @@ def start_cluster() -> None:
     w = subprocess.Popen(
         [_spark_bin("spark-class"),
          "org.apache.spark.deploy.worker.Worker", MASTER_URL,
-         "--cores", "4", "--memory", "32g", "--webui-port", "8092"],
+         "--cores", "4", "--memory", "72g", "--webui-port", "8092"],
         stdout=open("/tmp/ctse_worker.log", "w"),
         stderr=subprocess.STDOUT, env=_spark_env(),
         start_new_session=True,
@@ -178,10 +178,16 @@ def run_cell(n_execs: int, n_docs: int) -> dict | None:
         _spark_bin("spark-submit"),
         "--master", MASTER_URL,
         "--deploy-mode", "client",
+        "--driver-memory", "8g",
+        # same collector the local-mode cells measured 2x faster on this
+        # workload (see session.py) — keep executor JVMs config-equivalent
+        "--conf", "spark.executor.extraJavaOptions=-XX:+UseParallelGC",
+        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         "--py-files", ZIP_PATH,
         "--conf", f"spark.cores.max={n_execs}",
         "--conf", "spark.executor.cores=1",
-        "--conf", "spark.executor.memory=6g",
+        "--conf", "spark.executor.memory=14g",  # match the 16g local-mode JVM
+        "--conf", "spark.executor.memoryOverhead=2g",
         "--conf", f"spark.sql.shuffle.partitions={max(n_execs, 4)}",
         "--conf", "spark.locality.wait=0",
         "--conf", "spark.ui.enabled=false",
