@@ -14,3 +14,9 @@ from clinical_trial_searchengine_spark.operators.similarity import (  # noqa: F4
     cosine_topk,
     cosine_topk_lsh,
 )
+from clinical_trial_searchengine_spark.operators.feasibility import (  # noqa: F401
+    feasibility_filter,
+    feasibility_score,
+    parse_trials,
+    rank_with_feasibility,
+)

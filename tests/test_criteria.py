@@ -177,6 +177,33 @@ def test_feasibility_worked_example(spark):
     assert [r["trial_id"] for r in kept] == [1]
 
 
+def test_rank_with_feasibility_blend(spark):
+    """Blend = 0.6*minmax(retrieval) + 0.4*feasibility/100, infeasible rows
+    dropped after scoring (reference: main.py:575-624)."""
+    from clinical_trial_searchengine_spark.operators.feasibility import (
+        rank_with_feasibility,
+    )
+
+    rows = [
+        # (id, retrieval score, feas score, is_feasible)
+        (1, 10.0, 50, True),
+        (2, 20.0, 100, True),
+        (3, 30.0, 0, False),    # dropped
+        (4, 15.0, None, None),  # unassessed: kept, feas leg 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, score double, feasibility_score int, "
+        "is_feasible boolean",
+    )
+    got = rank_with_feasibility(df, feasibility_weight=0.4).collect()
+    assert [r["doc_id"] for r in got] == [2, 1, 4]
+    by_id = {r["doc_id"]: r["blended_score"] for r in got}
+    # minmax over ALL rows (norm before filter): min=10, max=30
+    assert abs(by_id[2] - (0.6 * 0.5 + 0.4 * 1.0)) < 1e-9
+    assert abs(by_id[1] - (0.6 * 0.0 + 0.4 * 0.5)) < 1e-9
+    assert abs(by_id[4] - (0.6 * 0.25 + 0.4 * 0.0)) < 1e-9
+
+
 def test_gate_matches_duckdb_oracle(spark, tmp_path):
     """End-to-end parity of the generated oracle SQL for the most complex
     gate (feasibility_rank) on a synthetic documents table."""
