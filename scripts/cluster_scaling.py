@@ -188,7 +188,10 @@ def run_cell(n_execs: int, n_docs: int) -> dict | None:
         "--conf", "spark.executor.cores=1",
         "--conf", "spark.executor.memory=14g",  # match the 16g local-mode JVM
         "--conf", "spark.executor.memoryOverhead=2g",
-        "--conf", f"spark.sql.shuffle.partitions={max(n_execs, 4)}",
+        # 16 for BOTH levels: same plan shape, and fine-grained tasks let
+        # 1-core executors reschedule around co-tenant steal (measured
+        # 198.7s -> 151.8s at 4 exec / 200k under load)
+        "--conf", "spark.sql.shuffle.partitions=16",
         "--conf", "spark.locality.wait=0",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
