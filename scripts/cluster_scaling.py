@@ -192,7 +192,10 @@ def run_cell(n_execs: int, n_docs: int) -> dict | None:
         # 1-core executors reschedule around co-tenant steal (measured
         # 198.7s -> 151.8s at 4 exec / 200k under load)
         "--conf", "spark.sql.shuffle.partitions=16",
-        "--conf", "spark.locality.wait=0",
+        # locality matters: the build caches its ranged corpus + encode
+        # relations per executor; wait=0 measured 2x slower at 4 exec
+        # (161s vs 72s postings_write) from remote DISK_ONLY fetches
+        "--conf", "spark.locality.wait=3s",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
         "--conf", f"spark.local.dir=/dev/shm/ctse_spark_{os.getpid()}",
