@@ -221,6 +221,7 @@ def run_cell(n_execs: int, n_docs: int) -> dict | None:
         "executors": n_execs, "n_docs": n_docs, "build_sec": sec,
         "build_docs_per_sec": round(n_docs / sec, 1),
         "submit_wall_sec": round(wall, 2),
+        "stage_sec": meta.get("stage_seconds"),
     }
 
 
