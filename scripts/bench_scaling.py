@@ -140,6 +140,29 @@ def run_cell(cpus: int, n_docs: int, run_queries: bool) -> dict:
     return out
 
 
+def _epoch_md() -> str:
+    """Median-of-paired-epochs summary (see cluster_scaling.run_paired_epochs:
+    one epoch = all four cells back-to-back, so co-tenant load inflates both
+    executor levels together and largely cancels in the per-epoch ratio)."""
+    path = os.path.join(REPO, "BENCH", "cluster_epochs.jsonl")
+    if not os.path.exists(path):
+        return ""
+    effs = []
+    with open(path) as f:
+        for line in f:
+            effs.append(json.loads(line)["efficiency"])
+    if not effs:
+        return ""
+    effs.sort()
+    med = effs[len(effs) // 2]
+    return (
+        f"* Paired-epoch estimate (noise-robust: each epoch runs all four "
+        f"cells back-to-back so shared co-tenant load cancels in the "
+        f"ratio): **median executor-scaling efficiency {med}** over "
+        f"{len(effs)} epochs (all: {effs}).\n"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", type=int, default=0, help="internal: one cell")
@@ -321,11 +344,12 @@ methodology, min-merged across load windows (BENCH/cluster_cells.json):
 |---|---|---|---|
 {clrows}
 
-* Marginal build throughput: 1 executor = **{round(cl_marg[1], 1)}
-  docs/s**, 4 executors = **{round(cl_marg[4], 1)} docs/s** → speedup
+* Marginal build throughput (min-merged cells): 1 executor =
+  **{round(cl_marg[1], 1)} docs/s**, 4 executors =
+  **{round(cl_marg[4], 1)} docs/s** → speedup
   {round(cl_marg[4] / cl_marg[1], 2)}x, **executor-scaling efficiency
   {cl_eff}**.
-"""
+{_epoch_md()}"""
     eff = summary["build_scaling_efficiency"]
     if eff >= 0.8:
         efficiency_note = (
