@@ -688,6 +688,42 @@ def _q_eval_ir_means(spark, sf_dir):
     return ir_metrics_mean(run, qrels, k=10)
 
 
+def _eval_feasible(spark, sf_dir):
+    """Per-(query, hit) feasibility flags — the reference's hit_metadata
+    is_feasible (profile-dependent, so keyed by query AND doc)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("q"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "query_id"
+        ),
+        F.col("o_orderkey").alias("doc_id"),
+        (F.col("o_orderkey") % 5 != 0).alias("is_feasible"),
+    )
+
+
+def _q_eval_feasibility_metrics(spark, sf_dir):
+    # The reference's 4 custom feasibility metrics per query:
+    # precision_feasible@10, recall_feasible@20, violation@5, reach@10
+    # (reference: backend/evaluation/custom_metrics.py:137-197)
+    from clinical_trial_searchengine_spark.operators.eval import (
+        feasibility_metrics,
+    )
+
+    run, qrels = _eval_run_qrels(spark, sf_dir)
+    return feasibility_metrics(run, qrels, _eval_feasible(spark, sf_dir))
+
+
+def _q_eval_feasibility_means(spark, sf_dir):
+    # compute_all_feasibility_metrics return value: means over every query
+    # in the run (reference: backend/evaluation/custom_metrics.py:174-197)
+    from clinical_trial_searchengine_spark.operators.eval import (
+        feasibility_metrics_mean,
+    )
+
+    run, qrels = _eval_run_qrels(spark, sf_dir)
+    return feasibility_metrics_mean(run, qrels, _eval_feasible(spark, sf_dir))
+
+
 def _q_split_bullets_udtf(spark, sf_dir):
     """X3: stateful criteria splitter (header/bullet/continuation scanner ->
     array<struct<type,seq,text>> + explode).  The documents text is single-
@@ -781,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": _q_window_rank,
         "eval_ir_metrics": _q_eval_ir_metrics,
         "eval_ir_means": _q_eval_ir_means,
+        "eval_feasibility_metrics": _q_eval_feasibility_metrics,
+        "eval_feasibility_means": _q_eval_feasibility_means,
         "events_hourly": _q_events_hourly,
         "json_extract_props": _q_json_extract_props,
         "set_ops_lang_tokens": _q_set_ops_lang_tokens,
@@ -1087,6 +1125,73 @@ FROM o CROSS JOIN b
     sqls["eval_ir_metrics"] = (
         f"WITH {_EVAL_BASE_SQL} SELECT * FROM metrics"
     )
+    feas_base = """
+scored AS (
+  SELECT 'q' || (o_orderkey % 3)::VARCHAR AS query_id,
+         o_orderkey AS doc_id, o_totalprice AS score
+  FROM orders
+),
+run AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+  QUALIFY rank <= 20
+),
+qrels AS (
+  SELECT 'q' || (o_orderkey % 3)::VARCHAR AS query_id,
+         o_orderkey AS doc_id,
+         CASE WHEN o_custkey % 7 = 0 THEN 2
+              WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END AS rel
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+feas AS (
+  SELECT 'q' || (o_orderkey % 3)::VARCHAR AS query_id,
+         o_orderkey AS doc_id, (o_orderkey % 5 <> 0) AS is_feasible
+  FROM orders
+),
+totals AS (
+  SELECT query_id, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS R
+  FROM qrels GROUP BY 1
+),
+fj AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END AS rel_bin,
+         CASE WHEN coalesce(f.is_feasible, false) THEN 1 ELSE 0 END AS feasb
+  FROM run r
+  LEFT JOIN qrels q USING (query_id, doc_id)
+  LEFT JOIN feas f USING (query_id, doc_id)
+),
+fperq AS (
+  SELECT query_id,
+         sum(CASE WHEN rank <= 10 AND rel_bin = 1 THEN feasb ELSE 0 END) AS n_pf10,
+         sum(CASE WHEN rel_bin = 1 THEN feasb ELSE 0 END) AS n_rf20,
+         sum(CASE WHEN rank <= 5 THEN 1 - feasb ELSE 0 END) AS n_viol5
+  FROM fj GROUP BY 1
+),
+fmetrics AS (
+  SELECT p.query_id,
+         round(n_pf10 / 10.0, 6) AS precision_feasible_10,
+         round(CASE WHEN coalesce(t.R, 0) > 0
+               THEN n_rf20::DOUBLE / t.R ELSE 0 END, 6) AS recall_feasible_20,
+         round(n_viol5 / 5.0, 6) AS violation_5,
+         round(CASE WHEN coalesce(t.R, 0) > 0
+               THEN n_pf10::DOUBLE / t.R ELSE 0 END, 6) AS reach_10
+  FROM fperq p LEFT JOIN totals t USING (query_id)
+)
+"""
+    sqls["eval_feasibility_metrics"] = (
+        f"WITH {feas_base} SELECT * FROM fmetrics"
+    )
+    sqls["eval_feasibility_means"] = f"""
+WITH {feas_base}
+SELECT round(avg(precision_feasible_10), 6) AS mean_precision_feasible_10,
+       round(avg(recall_feasible_20), 6) AS mean_recall_feasible_20,
+       round(avg(violation_5), 6) AS mean_violation_5,
+       round(avg(reach_10), 6) AS mean_reach_10,
+       count(*) AS n_queries
+FROM fmetrics
+"""
     sqls["eval_ir_means"] = f"""
 WITH {_EVAL_BASE_SQL}
 SELECT round(avg(precision), 6) AS mean_precision,

@@ -183,6 +183,104 @@ def ir_metrics_mean(
     return out
 
 
+FEAS_METRIC_COLS = [
+    "precision_feasible_10", "recall_feasible_20", "violation_5", "reach_10",
+]
+
+
+def feasibility_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    feasible: DataFrame,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """The reference's 4 custom feasibility-quality metrics, per query
+    (reference: backend/evaluation/custom_metrics.py:137-197):
+
+      precision_feasible@10 = |top-10 ∩ relevant ∩ feasible| / 10
+      recall_feasible@20    = |top-20 ∩ relevant ∩ feasible| / R  (0 if R = 0)
+      violation@5           = |top-5 ∩ NOT feasible| / 5
+      reach@10              = recall_feasible@10 (the reference's reach_at_k
+                              literally calls recall_feasible_at_k with K=10)
+
+    Unlike :func:`ir_metrics` (trec_eval: queries without relevant qrels are
+    excluded), the reference iterates EVERY query in the run and returns 0.0
+    for the recall-style metrics when R = 0 — reproduced here.
+
+    ``run``: (query_id, doc_id, rank); ``qrels``: (query_id, doc_id, rel);
+    ``feasible``: (query_id, doc_id, is_feasible) — the per-hit feasibility
+    flag the reference carries in hit_metadata (profile-dependent, so keyed
+    by query AND doc).  Hits absent from ``feasible`` count as infeasible.
+
+    One shuffle on query_id over candidate pools of <= max-k rows/query —
+    corpus-scale work stays in the retrieval that produced ``run``.
+    """
+    j = (
+        run.where(F.col("rank") <= 20)
+        .join(qrels.withColumnRenamed("rel", "_rel"),
+              ["query_id", "doc_id"], "left")
+        .join(feasible.withColumnRenamed("is_feasible", "_feas"),
+              ["query_id", "doc_id"], "left")
+        .withColumn("rel_bin", (F.coalesce("_rel", F.lit(0)) > 0).cast("int"))
+        .withColumn("feas", F.coalesce("_feas", F.lit(False)).cast("int"))
+    )
+    totals = qrels.groupBy("query_id").agg(
+        F.sum((F.col("rel") > 0).cast("int")).alias("R")
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.sum(
+            F.when((F.col("rank") <= 10) & (F.col("rel_bin") == 1),
+                   F.col("feas")).otherwise(0)
+        ).alias("n_pf10"),
+        F.sum(
+            F.when(F.col("rel_bin") == 1, F.col("feas")).otherwise(0)
+        ).alias("n_rf20"),
+        F.sum(
+            F.when(F.col("rank") <= 5, 1 - F.col("feas")).otherwise(0)
+        ).alias("n_viol5"),
+    )
+    out = per_q.join(totals, "query_id", "left").select(
+        "query_id",
+        (F.col("n_pf10") / 10.0).alias("precision_feasible_10"),
+        F.when(
+            F.coalesce("R", F.lit(0)) > 0, F.col("n_rf20") / F.col("R")
+        ).otherwise(0.0).alias("recall_feasible_20"),
+        (F.col("n_viol5") / 5.0).alias("violation_5"),
+        F.when(
+            F.coalesce("R", F.lit(0)) > 0, F.col("n_pf10") / F.col("R")
+        ).otherwise(0.0).alias("reach_10"),
+    )
+    if round_to is not None:
+        out = out.select(
+            "query_id",
+            *[F.round(c, round_to).alias(c) for c in FEAS_METRIC_COLS],
+        )
+    return out
+
+
+def feasibility_metrics_mean(
+    run: DataFrame,
+    qrels: DataFrame,
+    feasible: DataFrame,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Means over every query in the run — the reference's
+    compute_all_feasibility_metrics return value
+    (reference: backend/evaluation/custom_metrics.py:174-197)."""
+    per_q = feasibility_metrics(run, qrels, feasible, round_to=round_to)
+    out = per_q.agg(
+        *[F.avg(c).alias(f"mean_{c}") for c in FEAS_METRIC_COLS],
+        F.count("*").alias("n_queries"),
+    )
+    if round_to is not None:
+        out = out.select(
+            *[F.round(f"mean_{c}", round_to).alias(f"mean_{c}")
+              for c in FEAS_METRIC_COLS],
+            "n_queries",
+        )
+    return out
+
+
 def evaluate_search(
     engine,
     query_texts: dict[str, str],

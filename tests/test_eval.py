@@ -100,3 +100,60 @@ def test_evaluate_search_end_to_end(built_index, spark):
         assert abs(r["recall"] - 1.0) <= TOL, qid
         assert abs(r["mrr"] - 1.0) <= TOL, qid
         assert abs(r["ndcg"] - 1.0) <= TOL, qid
+
+
+def test_feasibility_metrics_hand_computed(spark):
+    """Worked example mirroring the reference's python loops
+    (reference: backend/evaluation/custom_metrics.py:137-197)."""
+    from clinical_trial_searchengine_spark.operators.eval import (
+        feasibility_metrics,
+        feasibility_metrics_mean,
+    )
+
+    # q1: 12 ranked docs; relevant = {1,2,3,9} (9 never retrieved, R=4);
+    # feasible = odd doc_ids (doc 11 missing from the flags table -> counts
+    # infeasible).  q2: no relevant qrels at all -> recall/reach are 0.0 but
+    # violation still counts (reference iterates every query in the run).
+    run = spark.createDataFrame(
+        [("q1", d, r + 1) for r, d in enumerate(
+            [1, 4, 3, 2, 5, 6, 7, 8, 10, 12, 13, 11])]
+        + [("q2", d, r + 1) for r, d in enumerate([20, 21, 22])],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1, 2), ("q1", 2, 1), ("q1", 3, 1), ("q1", 9, 1),
+         ("q1", 4, 0), ("q2", 20, 0)],
+        "query_id string, doc_id long, rel int",
+    )
+    feasible = spark.createDataFrame(
+        [("q1", d, d % 2 == 1) for d in [1, 4, 3, 2, 5, 6, 7, 8, 10, 12, 13]]
+        + [("q2", 20, True), ("q2", 21, False), ("q2", 22, True)],
+        "query_id string, doc_id long, is_feasible boolean",
+    )
+    rows = {
+        r["query_id"]: r
+        for r in feasibility_metrics(
+            run, qrels, feasible, round_to=None
+        ).collect()
+    }
+    # q1 top-10 relevant∩feasible = {1, 3} -> pf10 = 2/10, reach = 2/4
+    # top-20 (all 12) adds no feasible relevant -> rf20 = 2/4
+    # top-5 infeasible = {4, 2} -> violation = 2/5
+    q1 = rows["q1"]
+    assert abs(q1["precision_feasible_10"] - 0.2) <= TOL
+    assert abs(q1["recall_feasible_20"] - 0.5) <= TOL
+    assert abs(q1["violation_5"] - 0.4) <= TOL
+    assert abs(q1["reach_10"] - 0.5) <= TOL
+    # q2: R=0 -> recall-style metrics 0.0; top-5 infeasible = {21} -> 1/5
+    q2 = rows["q2"]
+    assert q2["precision_feasible_10"] == 0.0
+    assert q2["recall_feasible_20"] == 0.0
+    assert abs(q2["violation_5"] - 0.2) <= TOL
+    assert q2["reach_10"] == 0.0
+
+    means = feasibility_metrics_mean(
+        run, qrels, feasible, round_to=None
+    ).collect()[0]
+    assert means["n_queries"] == 2
+    assert abs(means["mean_precision_feasible_10"] - 0.1) <= TOL
+    assert abs(means["mean_violation_5"] - 0.3) <= TOL
