@@ -89,8 +89,22 @@ def incremental_index(
     corpus: DataFrame,
     index_dir: str,
     full_rebuild: bool = False,
+    max_generations: int = 8,
+    max_delta_fraction: float = 0.5,
     **build_kwargs,
 ) -> dict:
+    """Fold not-yet-indexed rows of ``corpus`` into ``index_dir``.
+
+    Compaction policy (automatic): an append that would leave the index with
+    more than ``max_generations`` generations, or with delta generations
+    holding more than ``max_delta_fraction`` of all docs, triggers a full
+    rebuild over ``corpus`` instead of stacking another delta — bounding the
+    query-side union fan-out without anyone having to remember to call
+    :meth:`SearchEngine.compact`.  ``max_generations=None`` disables the
+    policy (deltas accumulate until an explicit ``full_rebuild=True``).
+    The compacted result is score-identical to the delta path (global stats
+    are exact either way; property: tests/test_incremental.py).
+    """
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         out = build_index(spark, corpus, index_dir, **build_kwargs)
         seg.write_generations(
@@ -131,6 +145,22 @@ def incremental_index(
         meta = dict(meta)
         meta["new_docs"] = 0
         return meta
+
+    # -- automatic compaction check (policy above) --
+    if max_generations is not None:
+        total_docs = sum(int(g["num_docs"]) for g in gens) + n_new
+        delta_docs = sum(
+            int(g["num_docs"]) for g in gens if int(g["gen"]) > 0
+        ) + n_new
+        if (
+            len(gens) + 1 > max_generations
+            or delta_docs > max_delta_fraction * total_docs
+        ):
+            out = incremental_index(
+                spark, corpus, index_dir, full_rebuild=True, **build_kwargs
+            )
+            out["compacted"] = True
+            return out
 
     # delta generation: same analyzer/scoring/layout params as the parent
     gen_k = max(int(g["gen"]) for g in gens) + 1

@@ -152,3 +152,46 @@ def test_multi_gen_warmed_handle(spark, corpora, tmp_path):
     eng2 = SearchEngine(spark, d).warm(postings=True)
     assert eng2.handle()._df_preloaded
     assert eng2.search_topk_rows("def license", 10) == cold
+
+
+def test_auto_compaction_policy(spark, tmp_path):
+    """Appends that would exceed the generation budget compact automatically
+    (no manual full_rebuild), and the compacted index is score-identical to
+    a single fresh build over the same corpus."""
+    full = generate_corpus_pandas(160, seed=11)
+    d_inc = str(tmp_path / "auto")
+    d_ref = str(tmp_path / "ref")
+
+    sizes = [64, 96, 128, 160]
+    outs = [
+        incremental_index(
+            spark, spark.createDataFrame(full.iloc[:n]), d_inc,
+            shard_size=48, max_generations=2, max_delta_fraction=0.9,
+        )
+        for n in sizes
+    ]
+    # 4 appends with a budget of 2 generations: the 3rd (would be gen 2)
+    # auto-compacts; the live index never exceeds the budget
+    assert any(o.get("compacted") for o in outs)
+    assert len(seg.read_generations(d_inc)) <= 2
+    assert outs[-1]["num_docs"] == 160
+
+    incremental_index(spark, spark.createDataFrame(full), d_ref, shard_size=48)
+    for q in QUERIES:
+        got, exp = _key_scores(spark, d_inc, q), _key_scores(spark, d_ref, q)
+        assert set(got) == set(exp), q
+        for key, s in exp.items():
+            assert abs(got[key] - s) <= TOL, (q, key)
+
+    # delta-fraction trigger: tiny gen budget is fine but a >50% delta on a
+    # fresh 2-gen index compacts even below the generation cap
+    d2 = str(tmp_path / "frac")
+    incremental_index(
+        spark, spark.createDataFrame(full.iloc[:40]), d2, shard_size=48
+    )
+    out2 = incremental_index(
+        spark, spark.createDataFrame(full), d2,
+        shard_size=48, max_generations=8, max_delta_fraction=0.5,
+    )
+    assert out2.get("compacted")
+    assert len(seg.read_generations(d2)) == 1
