@@ -73,7 +73,7 @@ def hybrid_rank(
 def hybrid_search(
     engine,
     query_text: str,
-    emb: DataFrame,
+    emb: DataFrame | None,
     query_vec: list[float],
     k: int = 10,
     sparse_n: int = 50,
@@ -82,26 +82,42 @@ def hybrid_search(
     blend_weight: float = 0.3,
     filter_doc_ids: DataFrame | None = None,
     id_col: str = "vec_id",
+    ivf_index_dir: str | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """End-to-end hybrid query: segment-engine BM25 leg (optionally
-    filtered — the filter context wins through the RRF drop rule) + exact
-    dense cosine leg over ``emb``, fused with :func:`hybrid_rank`.
+    filtered — the filter context wins through the RRF drop rule) + dense
+    cosine leg, fused with :func:`hybrid_rank`.
 
-    ``emb``'s ``id_col`` must be in the same id space as the engine's
-    doc_ids (i.e. the embedding table is keyed by engine doc_id).
-    The reference fetches BM25 size*3 then CANDIDATE_POOL dense hits
-    (main.py:447-471); sparse_n/dense_n mirror that over-fetch.
+    Dense leg source (mirroring the reference's persistent-FAISS leg,
+    reference: backend/api/main.py:777-784): with ``ivf_index_dir`` set, the
+    leg queries the MATERIALIZED IVF index via :func:`ivf_search` — only the
+    ``n_probe`` probed list partitions are scanned, the corpus-scale path.
+    Otherwise it brute-forces ``emb`` exactly (the correctness baseline; the
+    reference's FlatIP is exact too).
+
+    ``emb``/the IVF index's ``id_col`` must be in the same id space as the
+    engine's doc_ids.  The reference fetches BM25 size*3 then CANDIDATE_POOL
+    dense hits (main.py:447-471); sparse_n/dense_n mirror that over-fetch.
     """
     from clinical_trial_searchengine_spark.operators.similarity import (
         cosine_topk,
+        ivf_search,
     )
 
     sparse = engine.search(
         query_text, k=sparse_n, filter_doc_ids=filter_doc_ids
     )
-    dense = cosine_topk(emb, query_vec, k=dense_n, id_col=id_col).select(
-        F.col(id_col).alias("doc_id"), "cosine"
-    )
+    if ivf_index_dir is not None:
+        dense = ivf_search(
+            engine.spark, ivf_index_dir, query_vec, k=dense_n, n_probe=n_probe
+        )
+        dense_id = dense.columns[0]
+        dense = dense.select(F.col(dense_id).alias("doc_id"), "cosine")
+    else:
+        dense = cosine_topk(emb, query_vec, k=dense_n, id_col=id_col).select(
+            F.col(id_col).alias("doc_id"), "cosine"
+        )
     return hybrid_rank(
         sparse, dense, k=k, rrf_k=rrf_k, blend_weight=blend_weight
     )

@@ -166,6 +166,92 @@ def cosine_topk_lsh(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def build_lsh_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Materialize hyperplane-LSH buckets: vectors written PARTITIONED BY
+    their sign-pattern bucket, plane seed/count in a JSON sidecar.
+
+    The 100 TB counterpart of :func:`cosine_topk_lsh`: bucket assignment is
+    paid ONCE at index time; :func:`lsh_search` reads only the probed
+    ``_bucket=`` directories (Catalyst partition pruning — asserted in
+    scripts/explain_audit.py) instead of recomputing the bucket UDF over
+    every row per query.  Mirrors :func:`build_ivf_index`'s layout.
+    """
+    import json
+    import os
+
+    dim = len(emb.select(vec_col).first()[0])
+    (
+        emb.withColumn(
+            "_bucket",
+            hyperplane_bucket_udf(dim, n_planes, seed)(F.col(vec_col)),
+        )
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(os.path.join(index_dir, "buckets"))
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    meta = {
+        "n_planes": int(n_planes),
+        "dim": int(dim),
+        "seed": int(seed),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    tmp = os.path.join(index_dir, "lsh_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "lsh_meta.json"))
+    return meta
+
+
+def lsh_probe_buckets(
+    meta: dict, query_vec: list[float], multiprobe_hamming: int = 1
+) -> list[int]:
+    """Bucket ids to scan for a query: its own bucket + all within the given
+    hamming distance (same probe set as :func:`cosine_topk_lsh`)."""
+    n_planes = int(meta["n_planes"])
+    rng = np.random.default_rng(int(meta["seed"]))
+    planes = rng.standard_normal((n_planes, int(meta["dim"])))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbits = (planes @ q) > 0
+    qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
+    probe = [qbucket]
+    if multiprobe_hamming >= 1:
+        probe += [qbucket ^ (1 << i) for i in range(n_planes)]
+    return probe
+
+
+def lsh_search(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe_hamming: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Query a materialized LSH index: scan ONLY the probed bucket
+    partitions (pruned at planning time), exact cosine re-rank inside."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "lsh_meta.json")) as f:
+        meta = json.load(f)
+    probe = lsh_probe_buckets(meta, query_vec, multiprobe_hamming)
+    cands = spark.read.parquet(os.path.join(index_dir, "buckets")).where(
+        F.col("_bucket").isin(probe)
+    )
+    return cosine_topk(
+        cands, query_vec, k, meta["id_col"], meta["vec_col"], round_to
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse k-means quantizer + probed exact re-rank
 # ---------------------------------------------------------------------------

@@ -193,6 +193,29 @@ def main() -> None:
             ("TakeOrderedAndProject", ["TakeOrderedAndProject"]),
         ],
     )
+    # 6b. materialized LSH index: same pruning contract on _bucket
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_search,
+    )
+
+    lsh_dir = f"/tmp/ctse_audit_lsh_{tag}"
+    if not os.path.exists(os.path.join(lsh_dir, "lsh_meta.json")):
+        build_lsh_index(emb, lsh_dir, n_planes=8)
+    audit(
+        "Materialized hyperplane-LSH ANN query (T4 approximate path)",
+        "The sign-pattern bucket is a PARTITION column written at index "
+        "time (build_lsh_index); a multiprobe query must show partition "
+        "filters on _bucket — non-probed bucket directories are never "
+        "opened, and no bucket UDF runs at query time.",
+        lsh_search(spark, lsh_dir, qvec, k=10, multiprobe_hamming=1),
+        [
+            ("partition pruning on _bucket",
+             ["PartitionFilters: [_bucket#", "PartitionFilters: [In(_bucket",
+              "PartitionFilters: [_bucket"]),
+            ("TakeOrderedAndProject", ["TakeOrderedAndProject"]),
+        ],
+    )
     from clinical_trial_searchengine_spark.operators.feasibility_gates import (
         q_feasibility_rank,
     )

@@ -231,3 +231,71 @@ def test_embedding_dedup_block_pairs_no_driver_collect(spark, monkeypatch):
     for k_, v in exp.items():
         assert abs(got[k_] - v) <= 1e-9
     assert len(exp) > 40  # prototypes actually cluster
+
+
+def test_lsh_materialized_index_prunes_partitions(spark, tmp_path):
+    """build_lsh_index writes _bucket-partitioned parquet; lsh_search must
+    show partition filters on _bucket and return exactly what the on-the-fly
+    cosine_topk_lsh returns for the same probe set."""
+    import numpy as np
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        build_lsh_index,
+        cosine_topk_lsh,
+        lsh_search,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((300, 12)).round(3)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    d = str(tmp_path / "lsh")
+    meta = build_lsh_index(emb, d, n_planes=8, seed=42)
+    assert meta["dim"] == 12
+    q = [float(x) for x in vecs[7]]
+
+    mat = lsh_search(spark, d, q, k=10, multiprobe_hamming=1)
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    fly = cosine_topk_lsh(
+        emb, q, k=10, n_planes=8, seed=42, multiprobe_hamming=1
+    )
+    assert [(r["vec_id"], r["cosine"]) for r in mat.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in fly.collect()
+    ]
+    # the query's own vector survives bucketing
+    top = mat.collect()
+    assert top and top[0]["vec_id"] == 7 and abs(top[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_hybrid_search_ivf_backed_dense_leg(built_index, spark, tmp_path):
+    """hybrid_search over the MATERIALIZED IVF index (full probe -> exact)
+    must equal the brute-force dense leg end-to-end."""
+    import numpy as np
+    from clinical_trial_searchengine_spark.operators.hybrid import (
+        hybrid_search,
+    )
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).round(3)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    d = str(tmp_path / "hybrid_ivf")
+    build_ivf_index(emb, d, n_centroids=8)
+    q = [float(x) for x in vecs[0]]
+    brute = hybrid_search(
+        built_index, "def license", emb, q, k=10, sparse_n=30, dense_n=60,
+    ).collect()
+    ivf = hybrid_search(
+        built_index, "def license", None, q, k=10, sparse_n=30, dense_n=60,
+        ivf_index_dir=d, n_probe=8,
+    ).collect()
+    assert [(r["doc_id"], r["final_score"]) for r in ivf] == [
+        (r["doc_id"], r["final_score"]) for r in brute
+    ]
