@@ -284,6 +284,7 @@ def build_index(
     verify_sha: bool = True,
     persist_input: bool = True,
     pre_assigned: bool = False,
+    pre_tokenized: DataFrame | None = None,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics dict.
 
@@ -333,19 +334,27 @@ def build_index(
     t_cur = _tick("assign_doc_ids", t_cur)
 
     # -- ONE tokenize pass: pairs + doc_len sentinels, persisted ------------
-    kernel_schema = "doc_id long, term string, tf int"
-    tokenized = (
-        docs.select("doc_id", "content")
-        .mapInPandas(
-            make_tokenize_pairs_kernel(mode, emit_doc_len=True), kernel_schema
+    # (``pre_tokenized``: the caller already produced — and persisted — the
+    # (doc_id, term, tf) + NULL-term-sentinel relation, e.g. the multifield
+    # build's single fused tokenize scan shared across field sub-indexes.)
+    own_tokenize = pre_tokenized is None
+    if own_tokenize:
+        kernel_schema = "doc_id long, term string, tf int"
+        tokenized = (
+            docs.select("doc_id", "content")
+            .mapInPandas(
+                make_tokenize_pairs_kernel(mode, emit_doc_len=True),
+                kernel_schema,
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        tokenized.count()  # materialize the tokenize persist once
+    else:
+        tokenized = pre_tokenized
     pairs = tokenized.where(F.col("term").isNotNull())
     doc_len_df = tokenized.where(F.col("term").isNull()).select(
         "doc_id", F.col("tf").alias("doc_len")
     )
-    tokenized.count()  # materialize the tokenize persist once
     t_cur = _tick("tokenize", t_cur)
 
     # -- doc_meta: metadata + sha256 invariant in one scan; doc_len joined
@@ -629,7 +638,8 @@ def build_index(
         seg.manifest_append(spark, index_dir, "norms", 0, "done", started_at=start)
 
     t_cur = _tick("norms", t_cur)
-    tokenized.unpersist()
+    if own_tokenize:
+        tokenized.unpersist()
     if hasattr(docs, "_ctse_persisted"):
         docs._ctse_persisted.unpersist()
     if persist_input and not pre_assigned:

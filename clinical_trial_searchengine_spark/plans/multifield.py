@@ -35,6 +35,53 @@ from clinical_trial_searchengine_spark.plans.query import IndexHandle, search_al
 MF_META = "multifield_meta.json"
 
 
+def _make_fused_tokenize_kernel(mode: str, n_fields: int):
+    """ONE corpus scan -> every field's flat (field, doc_id, term, tf) rows
+    plus per-(field, doc) NULL-term doc_len sentinels — the per-field
+    tokenize passes fused into a single mapInPandas (each field still gets
+    its OWN tf/doc_len, required for Lucene per-field stats)."""
+    import numpy as np
+    import pandas as pd
+
+    from clinical_trial_searchengine_spark.functions.analysis import (
+        analyze_flat,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            outs = []
+            for i in range(n_fields):
+                row_idx, terms, tfs, lens = analyze_flat(
+                    pdf[f"__field_{i}"], mode
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "field": np.full(len(terms), i, dtype=np.int32),
+                            "doc_id": doc_ids[row_idx],
+                            "term": terms,
+                            "tf": tfs.astype(np.int32),
+                        }
+                    )
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "field": np.full(len(doc_ids), i, dtype=np.int32),
+                            "doc_id": doc_ids,
+                            "term": pd.array(
+                                [None] * len(doc_ids), dtype=object
+                            ),
+                            "tf": lens.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return kernel
+
+
 def field_dir(index_dir: str, name: str) -> str:
     return os.path.join(index_dir, "fields", name)
 
@@ -74,10 +121,30 @@ def build_multifield_index(
     # ONE range shuffle of the corpus, shared by every field sub-index
     # (assignment is key-deterministic, so this is an optimization, not a
     # correctness requirement — property-tested in test_build_invariants).
+    from pyspark.storagelevel import StorageLevel
+
     from clinical_trial_searchengine_spark.plans.build import assign_doc_ids
 
     assigned = assign_doc_ids(corpus)
-    for name, expr in fields.items():
+    # ONE fused tokenize scan of the corpus emitting every field's pairs +
+    # doc_len sentinels, persisted once and shared by all sub-builds (each
+    # sub-build's own tokenize stage is skipped via pre_tokenized) — a
+    # K-field index costs ONE content scan, not K.
+    mode = build_kwargs.get("mode", "standard")
+    field_items = list(fields.items())
+    projected = assigned.select(
+        "doc_id",
+        *[
+            F.expr(expr).alias(f"__field_{i}")
+            for i, (_, expr) in enumerate(field_items)
+        ],
+    )
+    all_tokens = projected.mapInPandas(
+        _make_fused_tokenize_kernel(mode, len(field_items)),
+        "field int, doc_id long, term string, tf int",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    all_tokens.count()  # materialize the single tokenize pass
+    for i, (name, expr) in enumerate(field_items):
         sub = assigned.withColumn("content", F.expr(expr))
         if "content_sha256" in sub.columns and name not in identity_fields:
             # derived field text != source content: the sha invariant does
@@ -85,8 +152,11 @@ def build_multifield_index(
             sub = sub.drop("content_sha256")
         metas[name] = build_index(
             spark, sub, field_dir(index_dir, name),
-            pre_assigned=True, **build_kwargs,
+            pre_assigned=True,
+            pre_tokenized=all_tokens.where(F.col("field") == i).drop("field"),
+            **build_kwargs,
         )
+    all_tokens.unpersist()
     assigned._ctse_persisted.unpersist()
     n0 = metas[first_field]["num_docs"]
     for name, m in metas.items():
