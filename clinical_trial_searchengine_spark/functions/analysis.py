@@ -348,6 +348,209 @@ def analyze_flat(texts: pd.Series, mode: str = "standard"):
     return out_doc, out_terms, tfs, doc_lens
 
 
+# Byte LUTs for the ASCII fast path: one gather lowers A-Z, one classifies
+# [a-z0-9].  Bytes >= 0x80 (multibyte UTF-8) classify as separators, which is
+# only correct when no non-ASCII char lowercases INTO the token charset (e.g.
+# Kelvin sign -> 'k'), so the fast path is gated on an all-ASCII batch check.
+
+
+def _byte_luts():
+    import numpy as np
+
+    lower = np.arange(256, dtype=np.uint8)
+    lower[ord("A"):ord("Z") + 1] += 32
+    alnum = np.zeros(256, dtype=bool)
+    alnum[ord("a"):ord("z") + 1] = True
+    alnum[ord("0"):ord("9") + 1] = True
+    return lower, alnum
+
+
+_BYTE_LUTS = None
+
+
+def _tokenize_ascii_bytes(strings):
+    """Vectorized byte-level tokenizer for all-ASCII batches: lowercase +
+    classify + boundary-find + compress are LUT/bandwidth passes over the
+    raw UTF-8 buffer — no regex engine, no per-token object.
+
+    Returns ``(doc_idx, codes, dictionary)`` (token stream dictionary-encoded
+    by Arrow) or None when the batch contains non-ASCII bytes (caller falls
+    back to the Unicode regex path).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _BYTE_LUTS
+    if _BYTE_LUTS is None:
+        _BYTE_LUTS = _byte_luts()
+    lower_lut, alnum_lut = _BYTE_LUTS
+
+    n = len(strings)
+    bufs = strings.buffers()
+    off_all = np.frombuffer(bufs[1], dtype=np.int32)
+    off = off_all[strings.offset : strings.offset + n + 1].astype(np.int64)
+    data_all = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    data = data_all[off[0] : off[-1]]
+    if data.size and int(data.max()) >= 0x80:
+        return None  # non-ASCII: Unicode lowering may differ — regex path
+    lowered = lower_lut[data]
+    mask = alnum_lut[lowered]
+    d = np.diff(mask.view(np.int8), prepend=np.int8(0), append=np.int8(0))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    # force token breaks at document boundaries: adjacent docs where one
+    # ends and the next begins with token bytes would otherwise fuse
+    bnd = (off - off[0])[1:-1]
+    # unique: empty/null docs repeat their neighbour's offset, and a
+    # duplicated crossing would fabricate a zero-length token
+    bnd = np.unique(bnd[(bnd > 0) & (bnd < data.size)])
+    if bnd.size:
+        crossing = bnd[mask[bnd - 1] & mask[bnd]]
+        if crossing.size:
+            starts = np.sort(np.concatenate((starts, crossing)))
+            ends = np.sort(np.concatenate((ends, crossing)))
+    if not len(starts):
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            pa.array([], type=pa.string()),
+        )
+    tok_lens = ends - starts
+    tok_data = lowered[mask]
+    tok_off = np.zeros(len(starts) + 1, dtype=np.int32)
+    np.cumsum(tok_lens, out=tok_off[1:])
+    tok_arr = pa.StringArray.from_buffers(
+        len(starts),
+        pa.py_buffer(tok_off.tobytes()),
+        pa.py_buffer(tok_data.tobytes()),
+    )
+    doc_idx = np.searchsorted(off - off[0], starts, side="right") - 1
+    denc = pc.dictionary_encode(tok_arr)
+    return (
+        doc_idx.astype(np.int64),
+        denc.indices.to_numpy().astype(np.int64),
+        denc.dictionary,
+    )
+
+
+def analyze_flat_arrow(strings, mode: str = "standard"):
+    """Arrow-native flat analyzer: the bandwidth-light twin of
+    :func:`analyze_flat` for the index-build hot path.
+
+    Tokenization and vocabulary building run as vectorized byte/LUT passes
+    (all-ASCII batches — the hot case) or Arrow C++ kernels (Unicode
+    fallback: utf8_lower + RE2 split) — NO per-token Python object is ever
+    materialized (``analyze_flat`` pays one PyObject str per token via
+    ``str.findall``; at millions of tokens per batch that allocation traffic
+    is pure memory-bandwidth waste, the dominant shared-socket scaling
+    cost).  Python touches only vocabulary-sized data (the Porter stem map)
+    and fixed-width numpy arrays; the (doc, term) grouping is a single radix
+    sort on a composite int key.
+
+    Input: a ``pyarrow`` StringArray (nulls allowed).  Returns
+    ``(row_idx, dict_idx, dictionary, tfs, doc_lens)`` where ``dictionary``
+    is a pyarrow StringArray and ``dict_idx`` indexes it per output
+    (doc, distinct term) row, term-sorted within each doc —
+    ``pc.take(dictionary, dict_idx)`` yields exactly
+    :func:`analyze_flat`'s term column (property-tested).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if mode not in ("standard", "porter"):
+        raise ValueError(f"unknown analyzer mode: {mode}")
+    n = len(strings)
+    empty_lens = np.zeros(n, dtype=np.int64)
+
+    def _empty():
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, pa.array([], type=pa.string()), z, empty_lens
+
+    if n == 0:
+        return _empty()
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if strings.type != pa.string():
+        strings = strings.cast(pa.string())
+
+    tok = _tokenize_ascii_bytes(strings)
+    if tok is not None:
+        doc_idx, codes, dictionary = tok
+        if not len(codes):
+            return _empty()
+    else:
+        # Unicode fallback: split on the token-charset complement ==
+        # findall('[a-z0-9]+') with empty tokens dropped below
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(strings), pattern="[^a-z0-9]+"
+        )
+        counts = pc.fill_null(pc.list_value_length(lists), 0)
+        counts = counts.to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lists)
+        if len(flat) == 0:
+            return _empty()
+        denc = pc.dictionary_encode(flat)
+        codes = denc.indices.to_numpy().astype(np.int64)
+        dictionary = denc.dictionary
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # drop the empty token produced by leading/trailing separators
+        empty_pos = np.flatnonzero(
+            pc.equal(dictionary, "").to_numpy(zero_copy_only=False)
+        )
+        if len(empty_pos):
+            keep = codes != empty_pos[0]
+            codes, doc_idx = codes[keep], doc_idx[keep]
+            if not len(codes):
+                return _empty()
+
+    if mode == "porter":
+        uniq = dictionary.to_pylist()  # vocabulary-sized, not token-sized
+        mapped = [
+            None if (t == "" or t in STOPWORDS) else _stem_cached(t)
+            for t in uniq
+        ]
+        keep_unique = np.fromiter(
+            (m is not None for m in mapped), dtype=bool, count=len(mapped)
+        )
+        keep = keep_unique[codes]
+        codes, doc_idx = codes[keep], doc_idx[keep]
+        if not len(codes):
+            return _empty()
+        stems = np.asarray(
+            [m if m is not None else "" for m in mapped], dtype=object
+        )
+        # re-encode over stems so distinct tokens sharing a root merge
+        codes, stem_uniques = pd.factorize(stems[codes])
+        codes = codes.astype(np.int64)
+        dictionary = pa.array(stem_uniques, type=pa.string())
+
+    # rank of each dictionary entry under lexicographic order (Arrow sorts
+    # UTF-8 bytewise == code-point order == Python/numpy string order)
+    sorter = pc.array_sort_indices(dictionary).to_numpy().astype(np.int64)
+    rank = np.empty(len(dictionary), dtype=np.int64)
+    rank[sorter] = np.arange(len(dictionary))
+    # ONE radix sort on the composite (doc, term-rank) key, then RLE on the
+    # sorted key itself (single gather; boundaries recover both components)
+    v1 = np.int64(len(dictionary) + 1)
+    comp = doc_idx * v1 + rank[codes]
+    order = np.argsort(comp, kind="stable")
+    cs = comp[order]
+    new = np.concatenate(([True], cs[1:] != cs[:-1]))
+    starts = np.flatnonzero(new)
+    tfs = np.diff(np.concatenate((starts, [len(cs)])))
+    keys = cs[starts]
+    row_idx = keys // v1
+    dict_idx = sorter[keys % v1]
+    doc_lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    return row_idx, dict_idx, dictionary, tfs, doc_lens
+
+
 _ANALYZE_SCHEMA = StructType(
     [
         StructField(

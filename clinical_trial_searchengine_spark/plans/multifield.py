@@ -38,46 +38,56 @@ MF_META = "multifield_meta.json"
 def _make_fused_tokenize_kernel(mode: str, n_fields: int):
     """ONE corpus scan -> every field's flat (field, doc_id, term, tf) rows
     plus per-(field, doc) NULL-term doc_len sentinels — the per-field
-    tokenize passes fused into a single mapInPandas (each field still gets
-    its OWN tf/doc_len, required for Lucene per-field stats)."""
+    tokenize passes fused into a single mapInArrow (each field still gets
+    its OWN tf/doc_len, required for Lucene per-field stats).  Same
+    allocation-free Arrow analyzer as the single-field build path."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from clinical_trial_searchengine_spark.functions.analysis import (
-        analyze_flat,
+        analyze_flat_arrow,
     )
 
     def kernel(batches):
-        for pdf in batches:
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            outs = []
+        for batch in batches:
+            names = batch.schema.names
+            doc_ids = (
+                batch.column(names.index("doc_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            fields, docs, terms, tfs_out = [], [], [], []
             for i in range(n_fields):
-                row_idx, terms, tfs, lens = analyze_flat(
-                    pdf[f"__field_{i}"], mode
+                row_idx, dict_idx, dic, tfs, lens = analyze_flat_arrow(
+                    batch.column(names.index(f"__field_{i}")), mode
                 )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "field": np.full(len(terms), i, dtype=np.int32),
-                            "doc_id": doc_ids[row_idx],
-                            "term": terms,
-                            "tf": tfs.astype(np.int32),
-                        }
-                    )
+                fields.append(
+                    pa.array(np.full(len(row_idx), i, np.int32), pa.int32())
                 )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "field": np.full(len(doc_ids), i, dtype=np.int32),
-                            "doc_id": doc_ids,
-                            "term": pd.array(
-                                [None] * len(doc_ids), dtype=object
-                            ),
-                            "tf": lens.astype(np.int32),
-                        }
-                    )
+                docs.append(pa.array(doc_ids[row_idx], type=pa.int64()))
+                terms.append(
+                    pc.take(dic, pa.array(dict_idx, type=pa.int64()))
                 )
-            yield pd.concat(outs, ignore_index=True)
+                tfs_out.append(pa.array(tfs.astype(np.int32), pa.int32()))
+                # doc_len sentinels for this field
+                fields.append(
+                    pa.array(np.full(len(doc_ids), i, np.int32), pa.int32())
+                )
+                docs.append(pa.array(doc_ids, type=pa.int64()))
+                terms.append(pa.nulls(len(doc_ids), type=pa.string()))
+                tfs_out.append(
+                    pa.array(lens.astype(np.int32), type=pa.int32())
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.concat_arrays(fields),
+                    pa.concat_arrays(docs),
+                    pa.concat_arrays(terms),
+                    pa.concat_arrays(tfs_out),
+                ],
+                names=["field", "doc_id", "term", "tf"],
+            )
 
     return kernel
 
@@ -139,7 +149,7 @@ def build_multifield_index(
             for i, (_, expr) in enumerate(field_items)
         ],
     )
-    all_tokens = projected.mapInPandas(
+    all_tokens = projected.mapInArrow(
         _make_fused_tokenize_kernel(mode, len(field_items)),
         "field int, doc_id long, term string, tf int",
     ).persist(StorageLevel.MEMORY_AND_DISK)

@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 from clinical_trial_searchengine_spark.functions.analysis import (
     analyze_batch,
     analyze_flat,
+    analyze_flat_arrow,
     tokenize_text,
 )
 from clinical_trial_searchengine_spark.functions.codec import (
@@ -112,6 +113,44 @@ def test_analyze_flat_equals_batch(texts, mode):
     for i, t, c in zip(di, terms, tfs):
         rebuilt[i].append((t, int(c)))
     assert rebuilt == pairs
+
+
+@given(_texts, st.sampled_from(["standard", "porter"]))
+@settings(**_SETTINGS)
+def test_analyze_flat_arrow_equals_flat(texts, mode):
+    """The Arrow-native analyzer is row-for-row identical to analyze_flat:
+    same (doc, term, tf) rows in the same order, same doc_lens — so swapping
+    it into the build tokenize stage cannot change any BM25 score."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pd.Series(texts, dtype=object)
+    di, terms, tfs, dl = analyze_flat(s, mode)
+    ri, dix, dic, tfs2, dl2 = analyze_flat_arrow(
+        pa.array(texts, type=pa.string()), mode
+    )
+    assert list(ri) == list(di)
+    assert pc.take(dic, pa.array(dix)).to_pylist() == list(terms)
+    assert list(tfs2) == list(tfs)
+    assert list(dl2) == list(dl)
+
+
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_analyze_flat_arrow_sliced_input(texts):
+    """Offset-carrying (sliced) Arrow arrays hit the zero-copy buffer math
+    directly — the case a mapInArrow batch boundary produces."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(["PAD one", *texts], type=pa.string()).slice(1)
+    s = pd.Series(texts, dtype=object)
+    di, terms, tfs, dl = analyze_flat(s, "standard")
+    ri, dix, dic, tfs2, dl2 = analyze_flat_arrow(arr, "standard")
+    assert list(ri) == list(di)
+    assert pc.take(dic, pa.array(dix)).to_pylist() == list(terms)
+    assert list(tfs2) == list(tfs)
+    assert list(dl2) == list(dl)
 
 
 @given(st.text(max_size=300))
