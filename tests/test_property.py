@@ -153,6 +153,50 @@ def test_analyze_flat_arrow_sliced_input(texts):
     assert list(dl2) == list(dl)
 
 
+_groups = st.lists(
+    st.tuples(
+        st.sampled_from(["the", "def", "license", "trial", "a0", "z"]),
+        st.integers(min_value=0, max_value=10_000),  # doc_id
+        st.integers(min_value=1, max_value=50),  # tf
+    ),
+    min_size=1,
+    max_size=120,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(_groups)
+@settings(**_SETTINGS)
+def test_encode_bucket_group_arrow_equals_pandas(rows):
+    """The applyInArrow encode kernel emits byte-identical postings rows in
+    the same order as the pandas kernel it replaced."""
+    import pyarrow as pa
+
+    from clinical_trial_searchengine_spark.plans.build import (
+        _encode_bucket_group,
+        _encode_bucket_group_arrow,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "shard": np.full(len(rows), 3, dtype=np.int32),
+            "bucket": np.full(len(rows), 7, dtype=np.int64),
+            "salt": np.full(len(rows), 2, dtype=np.int32),
+            "term": [r[0] for r in rows],
+            "doc_id": np.asarray([r[1] for r in rows], dtype=np.int64),
+            "tf": np.asarray([r[2] for r in rows], dtype=np.int32),
+        }
+    )
+    ref = _encode_bucket_group(pdf)
+    got = _encode_bucket_group_arrow(pa.Table.from_pandas(pdf)).to_pandas()
+    assert list(got.columns) == list(ref.columns)
+    assert len(got) == len(ref)
+    for col in ref.columns:
+        a = [bytes(x) if col == "postings" else x for x in got[col]]
+        b = [bytes(x) if col == "postings" else x for x in ref[col]]
+        assert a == b, col
+
+
 @given(st.text(max_size=300))
 @settings(**_SETTINGS)
 def test_tokenize_invariants(text):
