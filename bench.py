@@ -111,35 +111,55 @@ def main() -> None:
         queries[q["query_id"]] = round(dt, 4)
         per_q.append(dt)
 
+    # -- 2b. scoring-kernel comparison on the warmed index -------------------
+    # pruned is the DEFAULT search path; this entry is the standing evidence
+    # that block-max skipping is never slower than decode-everything at this
+    # scale (and quantifies the win).  wand is the documented exact
+    # alternative (per-posting pointer loop — expected slowest; kept for its
+    # equivalence property, not speed).  Six-query batches, one warm pass
+    # per kernel closure first.
+    kq = list(reference_queries())[:6]
+    for kern in ("pruned", "exhaustive", "wand"):
+        for q in kq:
+            eng.search_topk_rows(q["text"], k=q["k"], kernel=kern)
+        t0 = time.time()
+        for q in kq:
+            eng.search_topk_rows(q["text"], k=q["k"], kernel=kern)
+        queries[f"kernel_{kern}_6q"] = round(time.time() - t0, 3)
+
     # -- 3. headline DataFrame ops on driver tables -------------------------
     # Each op runs once untimed (whole-stage-codegen Janino compile is a
     # one-time ~50s JIT cost, amortized to nothing at real scale) and once
     # timed — the steady-state number is the honest scale-relevant one.
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    qvec = [float(x) for x in qvec]
+    # Skipped when the sf dir has no driver tables (e.g. the sf1.0
+    # matched-corpus-size cell, which only exercises build + query suite).
+    has_tables = os.path.exists(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") if has_tables else None
+    if has_tables:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        qvec = [float(x) for x in qvec]
 
-    def _op_bm25():
-        bm25_topk(
-            docs, {"merge": 1.0, "join": 1.0, "filter": 1.0}, k=10
-        ).collect()
+        def _op_bm25():
+            bm25_topk(
+                docs, {"merge": 1.0, "join": 1.0, "filter": 1.0}, k=10
+            ).collect()
 
-    def _op_minhash():
-        minhash_lsh_duplicates(docs, threshold=0.8).count()
+        def _op_minhash():
+            minhash_lsh_duplicates(docs, threshold=0.8).count()
 
-    def _op_ann():
-        cosine_topk(emb, qvec, k=10).collect()
+        def _op_ann():
+            cosine_topk(emb, qvec, k=10).collect()
 
-    for name, op in [
-        ("bm25_documents_topk", _op_bm25),
-        ("minhash_lsh_dedup", _op_minhash),
-        ("ann_cosine_topk", _op_ann),
-    ]:
-        op()  # warm: codegen compile + parquet footer cache
-        t0 = time.time()
-        op()
-        queries[name] = round(time.time() - t0, 3)
+        for name, op in [
+            ("bm25_documents_topk", _op_bm25),
+            ("minhash_lsh_dedup", _op_minhash),
+            ("ann_cosine_topk", _op_ann),
+        ]:
+            op()  # warm: codegen compile + parquet footer cache
+            t0 = time.time()
+            op()
+            queries[name] = round(time.time() - t0, 3)
 
     total = time.time() - t_total
     shutil.rmtree(index_dir, ignore_errors=True)

@@ -3,12 +3,14 @@
 Single logical DAG (SURVEY.md §3.4), all vectorized:
 
   read corpus -> sha256 invariant check -> deterministic doc_id assignment
-  -> tokenizer mapInPandas kernel emitting FLAT (doc_id, term, tf) rows
+  -> tokenizer mapInArrow kernel emitting FLAT (doc_id, term, tf) rows
   -> doc_meta + global stats + GLOBAL per-term df/cf
   -> salted shuffle: groupBy(shard, term_bucket, salt) -> bucket encode
      kernel (delta + varint + block-max metadata, functions/codec.py)
-  -> merge salted runs (hot terms only) -> join global term stats
-  -> write postings (partitioned by shard), norms, manifest, metrics.
+  -> shard shuffle + (shard, term, salt) sort -> inline salted-run merge
+     in the SAME task -> write postings (partitioned by shard), norms,
+     manifest, metrics.  ONE streaming pass from encode to parquet: no
+     persist of the encoded relation, no second read, no hot-term shuffle.
 
 Scale + performance notes (the part that matters at 10^12 docs):
 * doc_id = global rank under (repo, path, commit): ONE range shuffle +
@@ -311,6 +313,105 @@ def _encode_bucket_group_arrow(table):
     )
 
 
+def _make_merge_runs_kernel():
+    """mapInPandas kernel that merges salted runs INLINE in the write pass.
+
+    Input rows (shard, term, salt, n_postings, cf_local, n_blocks, postings)
+    arrive sorted by (shard, term, salt) within the partition; adjacent rows
+    sharing (shard, term) are salted runs of one hot term and are merged —
+    decode in salt order, concat, re-encode, byte-identical to an unsalted
+    single encode (same property the old ``_merge_group`` path tested).
+    Everything else (the overwhelming majority) passes through untouched,
+    and output preserves the term-sorted row order the parquet row-group
+    pruning relies on (merged rows replace the FIRST row of their run).
+
+    This replaces the hot/cold branch split, which read the persisted
+    encode output twice and shuffled the hot subset a second time; runs
+    never span partitions (repartition("shard") keeps whole shards
+    together) but may span Arrow batches, so each batch's trailing
+    (shard, term) group is carried into the next."""
+    from clinical_trial_searchengine_spark.functions.codec import (
+        decode_postings,
+    )
+
+    out_cols = [
+        "shard", "term", "n_postings", "cf_local", "n_blocks", "postings",
+    ]
+
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = pdf["shard"].to_numpy()
+        term = pdf["term"].to_numpy(dtype=object)
+        new = np.ones(len(pdf), dtype=bool)
+        new[1:] = (shard[1:] != shard[:-1]) | (term[1:] != term[:-1])
+        gid = np.cumsum(new) - 1
+        single = (np.bincount(gid) == 1)[gid]
+        keep = single | new
+        out = pdf.loc[keep, out_cols].copy()
+        multi_first = ~single & new
+        if multi_first.any():
+            merged = []
+            for _, grp in pdf.loc[~single].groupby(
+                ["shard", "term"], sort=False
+            ):
+                grp = grp.sort_values("salt")
+                ids_parts, tf_parts = [], []
+                for buf in grp["postings"]:
+                    d, t = decode_postings(bytes(buf))
+                    ids_parts.append(d)
+                    tf_parts.append(t)
+                buf, n_blocks = encode_postings(
+                    np.concatenate(ids_parts),
+                    np.concatenate(tf_parts).astype(np.uint64),
+                )
+                merged.append(
+                    (
+                        int(grp["n_postings"].sum()),
+                        int(grp["cf_local"].sum()),
+                        int(n_blocks),
+                        buf,
+                    )
+                )
+            sel = multi_first[keep]
+            out.loc[sel, "n_postings"] = np.array(
+                [m[0] for m in merged], dtype=out["n_postings"].dtype
+            )
+            out.loc[sel, "cf_local"] = np.array(
+                [m[1] for m in merged], dtype=out["cf_local"].dtype
+            )
+            out.loc[sel, "n_blocks"] = np.array(
+                [m[2] for m in merged], dtype=out["n_blocks"].dtype
+            )
+            out.loc[sel, "postings"] = pd.Series(
+                [m[3] for m in merged], index=out.index[sel], dtype=object
+            )
+        return out
+
+    def kernel(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            shard = pdf["shard"].to_numpy()
+            term = pdf["term"].to_numpy(dtype=object)
+            cut = len(pdf) - 1
+            while (
+                cut > 0
+                and shard[cut - 1] == shard[-1]
+                and term[cut - 1] == term[-1]
+            ):
+                cut -= 1
+            carry = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield _process(body)
+        if carry is not None and len(carry):
+            yield _process(carry)
+
+    return kernel
+
+
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Merge salted runs of one (shard, term): decode in salt order (salts
     are contiguous doc_id sub-ranges), concat, re-encode — byte-identical to
@@ -597,7 +698,6 @@ def build_index(
             )
             .collect()
         )
-        hot_terms = [r["term"] for r in hot_rows]
         hot_df = spark.createDataFrame(
             [(r["term"], r["n_salts"]) for r in hot_rows] or [("", 1)],
             "term string, n_salts int",
@@ -627,48 +727,50 @@ def build_index(
             "cf_local long, n_blocks int, postings binary"
         )
         # DISK_ONLY persist: the cold/hot union below reads this twice, and
-        # without a persist the encode kernel would run once per branch.
-        # Disk (spark.local.dir) rather than memory: the unified memory
-        # manager can evict MEMORY_AND_DISK blocks under the write job's
-        # sort pressure and silently re-encode — measured as a 2x
-        # postings_write regression at higher parallelism.
+        # No persist: the encode output streams straight into the shard
+        # shuffle below — its ONLY consumer — so the old DISK_ONLY persist
+        # (which existed because the hot/cold branch split read it twice)
+        # would now be a pure extra disk round-trip of the whole postings
+        # relation.
         encoded = salted.groupBy("shard", "bucket", "salt").applyInArrow(
             _encode_bucket_group_arrow, enc_schema
-        ).persist(StorageLevel.DISK_ONLY)
+        )
 
         merge_schema = (
             "shard int, term string, n_postings long, cf_local long, "
             "n_blocks int, postings binary"
         )
-        out_cols = [
-            "shard", "term", "n_postings", "cf_local", "n_blocks", "postings",
-        ]
         if todo:
-            if hot_terms:
-                cold = encoded.where(
-                    ~F.col("term").isin(hot_terms)
-                ).select(*out_cols)
-                hot_merged = (
-                    encoded.where(F.col("term").isin(hot_terms))
-                    .groupBy("shard", "term")
-                    .applyInPandas(_merge_group, merge_schema)
-                )
-                merged = cold.unionByName(hot_merged)
-            else:
-                merged = encoded.select(*out_cols)
-            final = merged.withColumn("group", F.col("shard") % n_groups)
-
             # -- postings: ONE job end-to-end (pairs -> salted encode ->
-            # merge -> shard layout -> parquet), dynamic-overwriting only
-            # todo groups (resume granularity: group=g/shard=k).  No persist
-            # of the encoded relation: every downstream statistic is derived
-            # from the WRITTEN files below with column pruning (term +
-            # per-shard counts only — the postings blobs are never re-read).
+            # shard shuffle -> sorted inline salted-run merge -> parquet),
+            # dynamic-overwriting only todo groups (resume granularity:
+            # group=g/shard=k).  The (shard, term, salt) sort makes salted
+            # runs adjacent, so merging is a streaming pass in the SAME
+            # task that writes the shard — no second read of the encode
+            # output, no separate hot-term shuffle.  Every downstream
+            # statistic is derived from the WRITTEN files below with
+            # column pruning (the postings blobs are never re-read).
             start = time.time()
             (
-                final.where(F.col("group").isin(todo))
-                .repartition("shard")
-                .sortWithinPartitions("term")
+                encoded.where((F.col("shard") % n_groups).isin(todo))
+                # (shard, bucket) — NOT bare shard: all salts of a term
+                # share (shard, bucket), so salted runs stay whole, but
+                # write parallelism is n_shards * term_buckets tasks
+                # instead of n_shards.  With shard-only partitioning a
+                # small-shard-count build (e.g. 4 shards on 4 executors)
+                # serialized the entire sort+merge+parquet pass into 4
+                # tasks and capped marginal scaling at ~1.4x.  partitionBy
+                # below splits by column value regardless of task layout,
+                # so each task just writes one term-sorted file per shard
+                # dir it holds; query-side row-group pruning is per-file
+                # min/max and is indifferent to the file count.
+                .repartition(
+                    "shard",
+                    F.pmod(F.xxhash64("term"), F.lit(term_buckets)),
+                )
+                .sortWithinPartitions("shard", "term", "salt")
+                .mapInPandas(_make_merge_runs_kernel(), merge_schema)
+                .withColumn("group", F.col("shard") % n_groups)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("group", "shard")
@@ -715,7 +817,6 @@ def build_index(
             seg.manifest_append(
                 spark, index_dir, "term_stats", 0, "done", started_at=start
             )
-        encoded.unpersist()
     t_cur = _tick("term_stats", t_cur)
 
     # -- norms (doc_len arrays per shard chunk) --
