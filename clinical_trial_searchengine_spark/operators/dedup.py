@@ -1,8 +1,8 @@
 """Deduplication operators for training-data pipelines at 100 TB scale:
 
 * exact (content-hash groupBy)            — one shuffle, no UDF
-* n-gram Jaccard (exact, shingle join)    — built-ins only; quadratic on hot
-                                            shingles, use MinHash at scale
+* n-gram Jaccard (exact, prefix-filtered) — built-ins only; AllPairs prefix
+                                            join, no hot-shingle quadratic
 * MinHash + LSH banding                   — the scale path for near-dup
 * SimHash + pigeonhole banding            — hamming-distance near-dup
 
@@ -92,19 +92,95 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-Jaccard >= threshold — exact,
-    via shingle equi-join + count.  Built-ins only (no UDF).
+    built-ins only (no UDF).
 
-    Scale note: the shingle self-join explodes on hot shingles; at corpus
-    scale use :func:`minhash_lsh_duplicates` and keep this as the verify
-    stage on LSH candidates.
+    Default path is the AllPairs/PPJoin PREFIX FILTER (Bayardo et al.,
+    WWW'07): order each doc's shingles rarest-first by global document
+    frequency and join only on each doc's first ``|d| - ceil(t*|d|) + 1``
+    shingles.  Exactness: Jaccard >= t implies overlap >= ceil(t*|d|) for
+    BOTH docs of a pair, and two sets whose overlap is >= o must share an
+    element within their first ``|d| - o + 1`` elements under any common
+    total order — so every qualifying pair survives as a candidate, and
+    candidates are then verified with the exact ``array_intersect`` count.
+    This removes the hot-shingle quadratic of the naive self-join: a
+    shingle shared by M docs appears in a prefix only for docs where it is
+    among the rarest, so the join no longer materializes M^2 rows per hot
+    shingle.  ``prefix_filter=False`` keeps the naive one-shuffle shape
+    (cheaper on small candidate sets, e.g. post-LSH verify).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(shingle_expr(text_col, n))).alias("shingle"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        w = Window.partitionBy("id").orderBy("sdf", "shingle")
+        pref = (
+            sh.join(freq, "shingle")
+            .withColumn("pos", F.row_number().over(w))
+            .join(sizes, "id")
+            .where(
+                F.col("pos")
+                <= F.col("n_shingles")
+                - F.ceil(F.lit(threshold) * F.col("n_shingles"))
+                + 1
+            )
+            .select("id", "shingle", "n_shingles")
+        )
+        cand = (
+            pref.alias("a")
+            .join(pref.alias("b"), "shingle")
+            .where(
+                (F.col("a.id") < F.col("b.id"))
+                # length filter: t * max(|a|,|b|) <= min(|a|,|b|)
+                & (
+                    F.lit(threshold)
+                    * F.greatest("a.n_shingles", "b.n_shingles")
+                    <= F.least("a.n_shingles", "b.n_shingles")
+                )
+            )
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .distinct()
+        )
+        arrs = df.select(
+            F.col(id_col).alias("id"),
+            F.expr(shingle_expr(text_col, n)).alias("arr"),
+        )
+        return (
+            cand.join(
+                arrs.select(F.col("id").alias("id_a"),
+                            F.col("arr").alias("arr_a")), "id_a")
+            .join(
+                arrs.select(F.col("id").alias("id_b"),
+                            F.col("arr").alias("arr_b")), "id_b")
+            .withColumn(
+                "n_inter",
+                F.size(F.array_intersect("arr_a", "arr_b")),
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (
+                        F.size("arr_a") + F.size("arr_b")
+                        - F.col("n_inter")
+                    ),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")

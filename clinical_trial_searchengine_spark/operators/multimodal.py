@@ -67,9 +67,13 @@ def extract_features(
                     "container; run with strict=False for the deterministic stub"
                 )
             feats = []
-            for _, row in pdf.iterrows():
+            # zip over raw columns, not iterrows(): decode is inherently
+            # per-item (codec call on a real cluster) but the loop itself
+            # shouldn't materialize a pandas Series per row
+            metas = pdf["meta"].to_numpy()
+            for payload, meta in zip(pdf["payload"].to_numpy(), metas):
                 img = _fake_decode(
-                    bytes(row["payload"]), row["meta"]["width"], row["meta"]["height"]
+                    bytes(payload), meta["width"], meta["height"]
                 )
                 hist = np.histogram(img, bins=n_features, range=(0, 256))[0]
                 feats.append((hist / hist.sum()).astype(np.float64).tolist())

@@ -299,3 +299,22 @@ def test_hybrid_search_ivf_backed_dense_leg(built_index, spark, tmp_path):
     assert [(r["doc_id"], r["final_score"]) for r in ivf] == [
         (r["doc_id"], r["final_score"]) for r in brute
     ]
+
+
+def test_ngram_jaccard_prefix_filter_equals_naive(docs):
+    """The AllPairs prefix-filter path (default) must return EXACTLY the
+    naive shingle-self-join pairs — the filter only prunes candidates that
+    provably cannot reach the threshold, and verification is exact."""
+    from clinical_trial_searchengine_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = docs.limit(400)
+    got = _norm(
+        ngram_jaccard_pairs(d, threshold=0.7, prefix_filter=True).toPandas()
+    )
+    exp = _norm(
+        ngram_jaccard_pairs(d, threshold=0.7, prefix_filter=False).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(exp) > 0, "fixture must contain at least one near-dup pair"
