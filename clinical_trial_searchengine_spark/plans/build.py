@@ -764,8 +764,13 @@ def build_index(
                 # so each task just writes one term-sorted file per shard
                 # dir it holds; query-side row-group pruning is per-file
                 # min/max and is indifferent to the file count.
+                # EXPLICIT partition count: repartition(cols) with no count
+                # is advisory under AQE, and coalescePartitions folds this
+                # exchange to ~64MB-sized tasks — measured serializing the
+                # whole sort+merge+write onto 2-3 cores at 200k docs.
                 .repartition(
-                    "shard",
+                    int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                    F.col("shard"),
                     F.pmod(F.xxhash64("term"), F.lit(term_buckets)),
                 )
                 .sortWithinPartitions("shard", "term", "salt")
