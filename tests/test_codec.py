@@ -116,3 +116,78 @@ def test_encode_postings_group_byte_identical():
             d2, t2 = decode_postings(outs[t])
             assert (d2 == ids[lo:hi]).all()
             assert (t2 == tf[lo:hi].astype(np.int64)).all()
+
+
+def test_merge_runs_kernel_spans_batches():
+    """Direct (no-Spark) test of the write-pass merge kernel: a salted run
+    split across two Arrow batches must be carried and merged exactly as
+    a single-batch run, pass-through rows must keep their order, and the
+    merged blob must be byte-identical to encoding the concatenation."""
+    import pyarrow as pa
+
+    from clinical_trial_searchengine_spark.functions.codec import (
+        decode_postings,
+        encode_postings,
+    )
+    from clinical_trial_searchengine_spark.plans.build import (
+        _make_merge_runs_kernel,
+    )
+
+    def enc(ids, tfs):
+        buf, nb = encode_postings(
+            np.asarray(ids, np.int64), np.asarray(tfs, np.uint64)
+        )
+        return buf, nb
+
+    # salted run "hot" split 3 ways; salts arrive in order; run crosses the
+    # batch boundary between salt=1 and salt=2
+    h0, nb0 = enc([0, 2], [1, 2])
+    h1, nb1 = enc([10, 11], [3, 1])
+    h2, nb2 = enc([20], [5])
+    a0, na0 = enc([1, 5], [1, 1])
+    b0, nb_b = enc([7], [9])
+
+    def row(shard, term, salt, npost, cf, nb, buf):
+        return (shard, term, salt, npost, cf, nb, buf)
+
+    cols = ["shard", "term", "salt", "n_postings", "cf_local", "n_blocks",
+            "postings"]
+
+    def batch(rows):
+        arrays = list(zip(*rows))
+        return pa.record_batch(
+            [
+                pa.array(arrays[0], pa.int32()),
+                pa.array(arrays[1], pa.string()),
+                pa.array(arrays[2], pa.int32()),
+                pa.array(arrays[3], pa.int64()),
+                pa.array(arrays[4], pa.int64()),
+                pa.array(arrays[5], pa.int32()),
+                pa.array(arrays[6], pa.binary()),
+            ],
+            names=cols,
+        )
+
+    b1 = batch([
+        row(0, "aaa", 0, 2, 2, na0, a0),
+        row(0, "hot", 0, 2, 3, nb0, h0),
+        row(0, "hot", 1, 2, 4, nb1, h1),
+    ])
+    b2 = batch([
+        row(0, "hot", 2, 1, 5, nb2, h2),
+        row(0, "zzz", 0, 1, 9, nb_b, b0),
+    ])
+
+    kernel = _make_merge_runs_kernel()
+    out = pa.Table.from_batches(list(kernel(iter([b1, b2]))))
+    got = out.to_pylist()
+    assert [r["term"] for r in got] == ["aaa", "hot", "zzz"]
+    hot = got[1]
+    assert hot["n_postings"] == 5 and hot["cf_local"] == 12
+    exp_buf, exp_nb = enc([0, 2, 10, 11, 20], [1, 2, 3, 1, 5])
+    assert bytes(hot["postings"]) == exp_buf and hot["n_blocks"] == exp_nb
+    ids, tfs = decode_postings(bytes(hot["postings"]))
+    assert list(ids) == [0, 2, 10, 11, 20] and list(tfs) == [1, 2, 3, 1, 5]
+    # pass-through rows byte-identical
+    assert bytes(got[0]["postings"]) == a0
+    assert bytes(got[2]["postings"]) == b0
