@@ -58,7 +58,11 @@ LEVELS = (1, 4)  # N and 4N — see module docstring / cpu_capacity_probe
 
 
 def _corpus_dir(n: int) -> str:
-    return f"/tmp/ctse_scaling_corpus_{n}"
+    # /dev/shm, not /tmp: the scaling cells measure COMPUTE scaling, and
+    # disk reads on this shared-tenant box add co-tenant I/O variance the
+    # paired-epoch design can't cancel (the index is already written to
+    # /dev/shm for the same reason)
+    return f"/dev/shm/ctse_scaling_corpus_{n}"
 
 
 def _burn(n: int) -> int:

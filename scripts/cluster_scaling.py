@@ -306,6 +306,10 @@ def run_paired_epochs(n_epochs: int, thresh: float) -> None:
             "efficiency": round(marg4 / marg1 / 4, 3),
             "load_at_start": start_load,
             "load_at_end": load1(),
+            # per-cell stage walls: which stage ate a noisy epoch
+            "stages": {
+                f"{e}:{n}": got[(e, n)].get("stage_sec") for e, n in order
+            },
         }
         with open(EPOCHS, "a") as f:
             f.write(json.dumps(rec) + "\n")
