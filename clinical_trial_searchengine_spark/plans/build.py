@@ -575,6 +575,21 @@ def build_index(
     )
     t_cur = _tick("tokenize", t_cur)
 
+    _released = []
+
+    def _release_caches() -> None:
+        """Drop the corpus / ranged-docs / pairs caches (idempotent) —
+        called as soon as every remaining stage reads only written parquet."""
+        if _released:
+            return
+        _released.append(True)
+        if own_tokenize:
+            tokenized.unpersist()
+        if hasattr(docs, "_ctse_persisted"):
+            docs._ctse_persisted.unpersist()
+        if persist_input and not pre_assigned:
+            corpus.unpersist()
+
     # -- doc_meta: metadata + sha256 invariant in one scan; doc_len joined
     # from the cached sentinel rows (no content, no pair-level shuffle) ----
     meta_cols = ["doc_id", "repo", "path", "commit", "lang"] + (
@@ -816,6 +831,13 @@ def build_index(
                 )
         t_cur = _tick("postings_write", t_cur)
 
+        # -- release the build caches NOW: everything below reads only the
+        # WRITTEN parquet (postings, doc_meta), and the corpus + ranged +
+        # 48M-row pairs caches otherwise sit on the executor heaps through
+        # the tail stages — measured as GC-dominated (12.8s GC on a 16.4s
+        # stage) on 14g executors at 200k docs.
+        _release_caches()
+
         # -- EXACT global term stats (df = Σ per-shard posting counts, cf =
         # Σ per-shard tf sums) aggregated from the WRITTEN postings with
         # column pruning — a terms-level read, no pair-level shuffle, no
@@ -861,12 +883,7 @@ def build_index(
         seg.manifest_append(spark, index_dir, "norms", 0, "done", started_at=start)
 
     t_cur = _tick("norms", t_cur)
-    if own_tokenize:
-        tokenized.unpersist()
-    if hasattr(docs, "_ctse_persisted"):
-        docs._ctse_persisted.unpersist()
-    if persist_input and not pre_assigned:
-        corpus.unpersist()
+    _release_caches()  # no-op unless the postings block was skipped (resume)
 
     meta = {
         "format_version": 2,  # v2: postings carry no df/cf; idf reads term_stats

@@ -22,6 +22,13 @@ def get_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start every shuffle at fine grains and let AQE coalesce by SIZE:
+        # with grains == shuffle.partitions, one skewed reduce partition
+        # (e.g. an encode bucket holding popular terms) becomes a straggler
+        # task — measured as a 62s max-task on a 23s-mean stage; 128 grains
+        # coalesce into size-balanced tasks instead
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                "128")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -192,6 +192,10 @@ def run_cell(n_execs: int, n_docs: int) -> dict | None:
         # 1-core executors reschedule around co-tenant steal (measured
         # 198.7s -> 151.8s at 4 exec / 200k under load)
         "--conf", "spark.sql.shuffle.partitions=16",
+        # fine AQE grains so a skewed encode bucket coalesces into
+        # size-balanced tasks instead of one straggler (see session.py)
+        "--conf",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum=128",
         # locality matters: the build caches its ranged corpus + encode
         # relations per executor; wait=0 measured 2x slower at 4 exec
         # (161s vs 72s postings_write) from remote DISK_ONLY fetches
