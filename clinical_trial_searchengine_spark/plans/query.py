@@ -77,6 +77,24 @@ def _topk_from_scores(acc, base, k):
     )
 
 
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+
+
+def _postings_by_term(p_pdf: pd.DataFrame, need_df: bool) -> dict:
+    """{term: (postings_bytes, df_or_None)} via .values arrays —
+    pd.itertuples has a ~1.4 ms fixed cost per call (profiled), paid once
+    per (gen, shard) group at query time."""
+    terms = p_pdf["term"].values
+    posts = p_pdf["postings"].values
+    if need_df:
+        dfs_col = p_pdf["df"].values
+        return {t: (p, int(d)) for t, p, d in zip(terms, posts, dfs_col)}
+    return {t: (p, None) for t, p in zip(terms, posts)}
+
+
 def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
                             bases=None, dfs=None):
     """Vectorized per-(gen, shard) kernel: decode-all, accumulate, bounded
@@ -96,20 +114,18 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
 
     def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
         if p_pdf.empty or n_pdf.empty:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
+            return _empty_result()
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size  # gen-LOCAL shard base (norms/postings ids)
         dl = _norms_dl(n_pdf)
         acc = np.zeros(dl.size, dtype=np.float64)
-        by_term = {r.term: r for r in p_pdf.itertuples()}
+        by_term = _postings_by_term(p_pdf, need_df=dfs is None)
         for term in terms_sorted:  # fixed summation order == oracle
             row = by_term.get(term)
             if row is None:
                 continue
-            df = dfs[term] if dfs is not None else row.df
-            ids, tfs = decode_postings(bytes(row.postings))
+            df = dfs[term] if dfs is not None else row[1]
+            ids, tfs = decode_postings(bytes(row[0]))
             off = (ids - np.uint64(base)).astype(np.int64)
             Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
             acc[off] += (qtf[term] * _idf(N, df)) * (
@@ -122,136 +138,143 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
 
 def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
                         bases=None, dfs=None):
-    """Vectorized BLOCK-MAX PRUNED kernel: WAND-grade block skipping with no
-    per-posting Python (the scale answer to 'exhaustive decodes every
-    posting of every hot term'; complements §2.8-B6's doc-at-a-time WAND).
+    """Vectorized ITERATIVE block-max pruned kernel: WAND-grade block
+    skipping with no per-posting Python (the scale answer to 'exhaustive
+    decodes every posting of every hot term'; complements §2.8-B6's
+    doc-at-a-time WAND).
 
-    Safe two-phase plan, all numpy:
+    Term-at-a-time in DESCENDING weight (w = qtf*idf) order, all numpy:
 
-      1. SEED: fully decode the highest-weight (w = qtf*idf, i.e. usually
-         rarest) term; theta = k-th largest seed contribution.  theta is a
-         LOWER bound on the true k-th best final score (every doc's final
-         score >= its seed contribution), so pruning strictly below theta
-         can never evict a true top-k doc — tie-exactness preserved.
-      2. BOUND + SKIP: per remaining term, per block, the contribution
-         upper bound ub = w * max_tf / (max_tf + k1*(1-b)) (dl -> 0: above
-         any achievable value) is painted onto the shard's doc space as a
-         step function (np.add.at + cumsum — one piecewise-constant profile
-         U(d)).  Doc d stays alive iff seed(d) + U(d) >= theta.  A block is
-         decoded iff its doc range contains ANY alive doc (prefix-sum
-         lookup); :func:`decode_blocks` batch-decodes the survivors.
+      * The heaviest term is decoded fully (it is its own best seed).
+      * Before each remaining term t: theta = k-th largest of the working
+        partial-score array.  working(d) <= final(d) pointwise (it sums a
+        subset of d's contributions), and order statistics are monotone
+        under pointwise domination, so theta is a LOWER bound on the true
+        k-th best final score — pruning strictly below theta can never
+        evict a true top-k doc, and ties survive (a pruned doc's final
+        score is STRICTLY below theta).
+      * Per undecoded term, per block, the contribution upper bound
+        ub = w * max_tf / (max_tf + k1*(1-b)) (dl -> 0: above any
+        achievable value) is painted onto the shard's doc space as a step
+        function (np.add.at + cumsum — one piecewise-constant profile
+        U(d) over ALL still-undecoded terms, t included).  Doc d stays
+        alive iff working(d) + U(d) >= theta.  A block of t is decoded iff
+        its doc range contains ANY alive doc (prefix-sum lookup);
+        :func:`decode_blocks` batch-decodes the survivors.  Decoded
+        contributions then join the working array, so theta TIGHTENS for
+        every later term (the single-seed theta of the first cut of this
+        kernel left hot multi-term queries with 100% block survival —
+        measured; the iterative refinement is what makes skipping fire).
+      * A top-k doc stays alive at every step by induction: alive docs
+        receive ALL contributions of the current term (their blocks
+        contain an alive doc — themselves), so their working score stays
+        exact, and working(d) + U(d) >= final(d) >= theta for them.
+        A doc pruned at any step is strictly below the final k-th score
+        and its (possibly understated) accumulated score can never
+        displace a true top-k doc.
 
-    Every alive doc receives ALL its contributions (its blocks always
-    contain an alive doc — itself), so the final accumulate — re-run in
-    term-sorted order over the decoded data for oracle bit-identity — is
-    exact for every candidate that can reach the top-k.
+    Per-term contribution arrays are computed ONCE and cached; the final
+    accumulate replays them in term-sorted order — bit-identical float
+    summation order to the exhaustive kernel and the SQL oracle.  Worst
+    case (nothing prunable) this decodes exactly what exhaustive decodes,
+    plus only directory/profile/theta overhead that is O(num_blocks +
+    shard_docs) per term — independent of posting count.
     """
     terms_sorted = sorted(qtf)
     bases = bases or {0: 0}
 
     def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
-            {"doc_id": "int64", "score": "float64"}
-        )
         if p_pdf.empty or n_pdf.empty:
-            return empty
+            return _empty_result()
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size
         dl = _norms_dl(n_pdf)
-        by_term = {r.term: r for r in p_pdf.itertuples()}
+        nd = dl.size
+        by_term = _postings_by_term(p_pdf, need_df=dfs is None)
 
-        # directories + weights
-        dirs = {}
+        # directories + weights + per-term block upper-bound step profiles
+        dirs, steps = {}, {}
         for term in terms_sorted:
             row = by_term.get(term)
             if row is None:
                 continue
-            df = dfs[term] if dfs is not None else row.df
-            buf = bytes(row.postings)
+            df = dfs[term] if dfs is not None else row[1]
+            buf = bytes(row[0])
             n, firsts, max_tfs, nb, offs = decode_directory(buf)
-            if n:
-                dirs[term] = (qtf[term] * _idf(N, df), buf,
-                              n, firsts, max_tfs, nb, offs)
+            if not n:
+                continue
+            w = qtf[term] * _idf(N, df)
+            dirs[term] = (w, buf, n, firsts, max_tfs, nb, offs)
+            mt = max_tfs.astype(np.float64)
+            starts = np.clip(
+                (firsts - np.uint64(base)).astype(np.int64), 0, nd
+            )
+            ends = np.empty_like(starts)
+            ends[:-1] = starts[1:]  # next block's first bounds the range
+            ends[-1] = nd
+            steps[term] = (starts, ends, w * mt / (mt + k1 * (1.0 - b)))
         if not dirs:
-            return empty
+            return _empty_result()
 
-        # phase 1: seed = max-weight term, decoded fully
-        seed = max(dirs, key=lambda t: dirs[t][0])
-        w_s, buf_s, n_s, f_s, _, nb_s, of_s = dirs[seed]
-        ids_s, tfs_s = decode_postings(buf_s)
-        off_s = (ids_s - np.uint64(base)).astype(np.int64)
-        Kd = k1 * (1.0 - b + b * dl[off_s] / avgdl)
-        contrib_s = w_s * (tfs_s.astype(np.float64) / (tfs_s + Kd))
-        decoded = {seed: (off_s, tfs_s)}
+        def contrib_of(term, ids_t, tfs_t):
+            off = (ids_t - np.uint64(base)).astype(np.int64)
+            Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
+            return off, dirs[term][0] * (
+                tfs_t.astype(np.float64) / (tfs_t + Kd)
+            )
 
-        others = [t for t in dirs if t != seed]
-        if not others:
-            # single matching term: seed contributions ARE the scores
-            acc = np.zeros(dl.size, dtype=np.float64)
-            acc[off_s] = contrib_s
+        order = sorted(dirs, key=lambda t: (-dirs[t][0], t))
+        contribs = {}
+
+        t0 = order[0]
+        off0, c0 = contrib_of(t0, *decode_postings(dirs[t0][1]))
+        contribs[t0] = (off0, c0)
+        if len(order) == 1:
+            acc = np.zeros(nd, dtype=np.float64)
+            acc[off0] = c0
             return _topk_from_scores(acc, base + bases[gen], k)
-        if others:
-            if contrib_s.size >= k:
-                theta = float(
-                    np.partition(contrib_s, contrib_s.size - k)[
-                        contrib_s.size - k
-                    ]
-                )
-            else:
-                theta = -math.inf
-            # upper-bound profile over the shard's doc space
-            diff = np.zeros(dl.size + 1, dtype=np.float64)
-            seed_exact = np.zeros(dl.size, dtype=np.float64)
-            seed_exact[off_s] = contrib_s
-            for t in others:
-                w, _, n, firsts, max_tfs, _, _ = dirs[t]
-                mt = max_tfs.astype(np.float64)
-                ub = w * mt / (mt + k1 * (1.0 - b))
-                starts = np.clip(
-                    (firsts - np.uint64(base)).astype(np.int64), 0, dl.size
-                )
-                ends = np.empty_like(starts)
-                ends[:-1] = starts[1:]  # next block's first bounds the range
-                ends[-1] = dl.size
+
+        working = np.zeros(nd, dtype=np.float64)
+        working[off0] += c0
+        for i in range(1, len(order)):
+            t = order[i]
+            w, buf, n, firsts, max_tfs, nb, offs = dirs[t]
+            theta = (
+                float(np.partition(working, nd - k)[nd - k])
+                if nd > k else -math.inf
+            )
+            # upper-bound profile over ALL still-undecoded terms (t incl.)
+            diff = np.zeros(nd + 1, dtype=np.float64)
+            for u in order[i:]:
+                starts, ends, ub = steps[u]
                 np.add.at(diff, starts, ub)
                 np.add.at(diff, ends, -ub)
-            alive = seed_exact + np.cumsum(diff[:-1]) >= theta
+            alive = working + np.cumsum(diff[:-1]) >= theta
             alive_prefix = np.concatenate(
                 ([0], np.cumsum(alive, dtype=np.int64))
             )
-            for t in others:
-                w, buf, n, firsts, max_tfs, nb, offs = dirs[t]
-                starts = np.clip(
-                    (firsts - np.uint64(base)).astype(np.int64), 0, dl.size
-                )
-                ends = np.empty_like(starts)
-                ends[:-1] = starts[1:]
-                ends[-1] = dl.size
-                keep = np.flatnonzero(
-                    alive_prefix[ends] - alive_prefix[starts] > 0
-                )
-                if keep.size > 0.5 * len(firsts):
-                    # little to skip: one full-pass decode beats the
-                    # per-block selective loop (adaptive, measured)
-                    ids_t, tfs_t = decode_postings(buf)
-                else:
-                    ids_t, tfs_t = decode_blocks(
-                        buf, keep, n, firsts, nb, offs
-                    )
-                decoded[t] = (
-                    (ids_t - np.uint64(base)).astype(np.int64), tfs_t,
-                )
+            starts, ends, _ = steps[t]
+            keep = np.flatnonzero(
+                alive_prefix[ends] - alive_prefix[starts] > 0
+            )
+            if keep.size > 0.5 * len(firsts):
+                # little to skip: one full-pass decode beats the
+                # per-block selective loop (adaptive, measured)
+                ids_t, tfs_t = decode_postings(buf)
+            else:
+                ids_t, tfs_t = decode_blocks(buf, keep, n, firsts, nb, offs)
+            off_t, c_t = contrib_of(t, ids_t, tfs_t)
+            contribs[t] = (off_t, c_t)
+            if i + 1 < len(order):  # last term: no further theta needed
+                working[off_t] += c_t
 
         # final accumulate in term-sorted order == oracle summation order
-        acc = np.zeros(dl.size, dtype=np.float64)
+        acc = np.zeros(nd, dtype=np.float64)
         for term in terms_sorted:
-            d = decoded.get(term)
+            d = contribs.get(term)
             if d is None or not len(d[0]):
                 continue
-            off, tfs = d
-            w = dirs[term][0]
-            Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
-            acc[off] += w * (tfs.astype(np.float64) / (tfs + Kd))
+            acc[d[0]] += d[1]
         return _topk_from_scores(acc, base + bases[gen], k)
 
     return kernel
@@ -334,30 +357,27 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k,
                 self.advance()
 
     def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
-            {"doc_id": "int64", "score": "float64"}
-        )
         if p_pdf.empty or n_pdf.empty:
-            return empty
+            return _empty_result()
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size
         dl = _norms_dl(n_pdf)
 
         states = []
-        by_term = {r.term: r for r in p_pdf.itertuples()}
+        by_term = _postings_by_term(p_pdf, need_df=dfs is None)
         for term in terms_sorted:
             row = by_term.get(term)
             if row is None:
                 continue
-            w = qtf[term] * _idf(N, dfs[term] if dfs is not None else row.df)
-            st = TermState(term, w, bytes(row.postings))
+            w = qtf[term] * _idf(N, dfs[term] if dfs is not None else row[1])
+            st = TermState(term, w, bytes(row[0]))
             if st.n:
                 # strict UB: dl -> 0 (never achieved; dl >= 1 for matches)
                 mt = float(max(st.max_tfs.max(), 1))
                 st.ub = w * mt / (mt + k1 * (1.0 - b))
                 states.append(st)
         if not states:
-            return empty
+            return _empty_result()
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
         theta = -math.inf
@@ -402,7 +422,7 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k,
                     st.seek(pivot_doc)
 
         if not heap:
-            return empty
+            return _empty_result()
         out = sorted(heap, key=lambda e: (-e[0], -e[1]))
         return pd.DataFrame(
             {
@@ -702,19 +722,19 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size
         dl = _norms_dl(n_pdf)
-        by_term = {r.term: r for r in p_pdf.itertuples()}
+        by_term = _postings_by_term(p_pdf, need_df=dfs is None)
         # decode + per-term normalized contribution, shared across queries
         contrib: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
         for term in all_terms:
             row = by_term.get(term)
             if row is None:
                 continue
-            ids, tfs = decode_postings(bytes(row.postings))
+            ids, tfs = decode_postings(bytes(row[0]))
             off = (ids - np.uint64(base)).astype(np.int64)
             Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
             contrib[term] = (
                 off, tfs.astype(np.float64) / (tfs + Kd),
-                _idf(N, dfs[term] if dfs is not None else row.df),
+                _idf(N, dfs[term] if dfs is not None else row[1]),
             )
         frames = []
         for qid, qtf in queries.items():
