@@ -171,10 +171,11 @@ def materialize_corpora() -> None:
     spark.stop()
 
 
-def run_cell(n_execs: int, n_docs: int) -> dict | None:
-    index_dir = f"/dev/shm/ctse_cluster_idx_{n_execs}_{os.getpid()}"
-    shutil.rmtree(index_dir, ignore_errors=True)
-    cmd = [
+def _submit_cmd(n_execs: int, tail: list[str]) -> list[str]:
+    """Common spark-submit conf for every cell — build and query cells must
+    be config-identical apart from the job script so the 1-vs-4 ratio only
+    measures executor count."""
+    return [
         _spark_bin("spark-submit"),
         "--master", MASTER_URL,
         "--deploy-mode", "client",
@@ -203,12 +204,19 @@ def run_cell(n_execs: int, n_docs: int) -> dict | None:
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
         "--conf", f"spark.local.dir=/dev/shm/ctse_spark_{os.getpid()}",
+    ] + tail
+
+
+def run_cell(n_execs: int, n_docs: int) -> dict | None:
+    index_dir = f"/dev/shm/ctse_cluster_idx_{n_execs}_{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cmd = _submit_cmd(n_execs, [
         os.path.join(REPO, "scripts", "submit_build.py"),
         "--input", _corpus_dir(n_docs),
         "--index-dir", index_dir,
         "--shard-size", "50000",
         "--hot-df-threshold", str(max(1000, n_docs // 10)),
-    ]
+    ])
     t0 = time.time()
     out = subprocess.run(cmd, capture_output=True, text=True,
                          env=_spark_env(), cwd=REPO, timeout=3600)
@@ -320,6 +328,110 @@ def run_paired_epochs(n_epochs: int, thresh: float) -> None:
         print(json.dumps(rec), flush=True)
 
 
+QHIST = os.path.join(REPO, "BENCH", "query_cluster_cells.json")
+QUERY_DOCS = 200_000
+
+
+def ensure_query_index() -> str:
+    """Build the shared warmed-query index ONCE (4 executors, fast) and
+    reuse it for every query cell — query cells must read identical bytes
+    so the 1-vs-4 qps ratio only measures executor count."""
+    index_dir = f"/dev/shm/ctse_query_idx_{QUERY_DOCS}"
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        return index_dir
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cmd = _submit_cmd(4, [
+        os.path.join(REPO, "scripts", "submit_build.py"),
+        "--input", _corpus_dir(QUERY_DOCS),
+        "--index-dir", index_dir,
+        "--shard-size", "50000",
+        "--hot-df-threshold", str(QUERY_DOCS // 10),
+    ])
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         env=_spark_env(), cwd=REPO, timeout=3600)
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        raise RuntimeError("query-index build failed: " + out.stderr[-800:])
+    return index_dir
+
+
+def run_query_cell(n_execs: int, index_dir: str,
+                   threads: int = 8, rounds: int = 3) -> dict | None:
+    cmd = _submit_cmd(n_execs, [
+        os.path.join(REPO, "scripts", "submit_query_throughput.py"),
+        "--index-dir", index_dir,
+        "--threads", str(threads),
+        "--rounds", str(rounds),
+    ])
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         env=_spark_env(), cwd=REPO, timeout=1800)
+    shutil.rmtree(f"/dev/shm/ctse_spark_{os.getpid()}", ignore_errors=True)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        print("query cell failed:", out.stderr[-800:], flush=True)
+        return None
+    meta = json.loads(lines[-1])
+    meta.update({"executors": n_execs, "n_docs": QUERY_DOCS,
+                 "threads": threads})
+    return meta
+
+
+def max_merge_query(got: dict) -> None:
+    """qps is higher-is-better: keep the best window per cell (co-tenant
+    steal only ever LOWERS throughput, so the max estimates unloaded qps
+    — the mirror of min-merge on build seconds)."""
+    cells = {}
+    if os.path.exists(QHIST):
+        with open(QHIST) as f:
+            cells = json.load(f)
+    key = f"{got['executors']}:{got['n_docs']}"
+    prev = cells.get(key)
+    if prev is None or got["qps"] > prev["qps"]:
+        cells[key] = got
+    os.makedirs(os.path.dirname(QHIST), exist_ok=True)
+    with open(QHIST, "w") as f:
+        json.dump(cells, f, indent=1)
+
+
+def query_report() -> dict | None:
+    if not os.path.exists(QHIST):
+        return None
+    with open(QHIST) as f:
+        cells = json.load(f)
+    lo, hi = EXECUTORS
+    need = [f"{e}:{QUERY_DOCS}" for e in EXECUTORS]
+    if any(k not in cells for k in need):
+        print(json.dumps({"query_incomplete": True, "have": sorted(cells)}))
+        return None
+    out = {
+        "query_cells": cells,
+        "qps": {str(e): cells[f"{e}:{QUERY_DOCS}"]["qps"] for e in EXECUTORS},
+        "query_speedup": round(
+            cells[f"{hi}:{QUERY_DOCS}"]["qps"]
+            / cells[f"{lo}:{QUERY_DOCS}"]["qps"], 3),
+        "query_scaling_efficiency": round(
+            cells[f"{hi}:{QUERY_DOCS}"]["qps"]
+            / cells[f"{lo}:{QUERY_DOCS}"]["qps"] / (hi / lo), 3),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def run_query_campaign(n_cells: int, thresh: float) -> None:
+    index_dir = ensure_query_index()
+    done = 0
+    while done < n_cells:
+        if load1() > thresh:
+            time.sleep(30)
+            continue
+        e = EXECUTORS[done % len(EXECUTORS)]
+        got = run_query_cell(e, index_dir)
+        done += 1
+        if got:
+            max_merge_query(got)
+            print(json.dumps(got), flush=True)
+    query_report()
+
+
 def epoch_summary() -> dict | None:
     if not os.path.exists(EPOCHS):
         return None
@@ -345,6 +457,9 @@ def main() -> None:
                     help="number of cell runs (round-robin, min-merged)")
     ap.add_argument("--paired", type=int, default=0,
                     help="run N paired epochs instead of round-robin cells")
+    ap.add_argument("--query-cells", type=int, default=0,
+                    help="run N concurrent-query throughput cells "
+                    "(alternating 1/4 executors) against a shared index")
     ap.add_argument("--load-threshold", type=float, default=0.8)
     ap.add_argument("--report-only", action="store_true")
     ap.add_argument("--stop", action="store_true")
@@ -355,10 +470,14 @@ def main() -> None:
     if args.report_only:
         report()
         epoch_summary()
+        query_report()
         return
     materialize_corpora()
     make_zip()
     start_cluster()
+    if args.query_cells:
+        run_query_campaign(args.query_cells, args.load_threshold)
+        return
     if args.paired:
         run_paired_epochs(args.paired, args.load_threshold)
         report()
