@@ -242,6 +242,48 @@ def _q_engine_bm25_porter(spark, sf_dir):
     )
 
 
+def _q_engine_incremental_append(spark, sf_dir):
+    """S5 driver gate: delta-generation append must be score-identical to a
+    full build — base index over ~80% of documents (deterministic
+    crc32(path) split), the rest folded in via ``add_documents`` (gen=1
+    segment set + re-merged exact global stats), then scored against the
+    full-corpus DuckDB BM25 oracle.  The reference's upsert-then-refresh
+    lifecycle (reference: backend/db/scrape_clinical_trials.py:464-557)
+    as a driver-verified gate (previously pytest-only).
+    """
+    import hashlib
+
+    from clinical_trial_searchengine_spark.engine import SearchEngine
+    from clinical_trial_searchengine_spark.sources.tables import (
+        documents_as_corpus,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/ctse_driver_index_incr_{tag}"
+    eng = SearchEngine(spark, idx)
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        corpus = documents_as_corpus(spark, sf_dir)
+        delta = F.crc32(F.col("path")) % 5 == F.lit(0)
+        kw = dict(shard_size=2048, hot_df_threshold=1000)
+        eng.build(corpus.where(~delta), **kw)
+        eng.add_documents(corpus.where(delta), **kw)
+    scored = eng.search_all("merge join filter")
+    # generation-aware remap: doc_meta_df() globalizes per-gen ids by base
+    dm = eng.handle().doc_meta_df().select(
+        "doc_id",
+        F.expr("cast(substring(path, 5, 100) as long)").alias("orig_doc_id"),
+    )
+    return (
+        scored.join(dm, "doc_id")
+        .select(
+            F.col("orig_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def _q_term_df_stats(spark, sf_dir):
     # A7: global df/cf via two-phase hash agg
     from clinical_trial_searchengine_spark.plans.dataframe_bm25 import tokens_df
@@ -768,6 +810,31 @@ def _q_hybrid_rank_rrf(spark, sf_dir):
     return hybrid_rank(sparse, dense, k=10, rrf_k=60, blend_weight=0.3)
 
 
+def _q_hybrid_rank_ivf(spark, sf_dir):
+    """The /rank composition with its dense leg served from the
+    MATERIALIZED IVF index (reference's persistent-FAISS leg,
+    backend/api/main.py:777-784).  Full probe => exact, so the same SQL
+    oracle as `hybrid_rank_rrf` applies; production lowers n_probe and
+    scans only the probed list partitions."""
+    from clinical_trial_searchengine_spark.operators.hybrid import hybrid_rank
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(docs, _Q_TERMS, k=30)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = _index_dir_for(sf_dir, "ivf")
+    if not os.path.exists(os.path.join(idx, "ivf_meta.json")):
+        build_ivf_index(emb, idx, n_centroids=16)
+    dense = ivf_search(
+        spark, idx, [float(x) for x in qvec], k=60, n_probe=16, round_to=4
+    ).select(F.col("vec_id").alias("doc_id"), "cosine")
+    return hybrid_rank(sparse, dense, k=10, rrf_k=60, blend_weight=0.3)
+
+
 def _q_multimodal_features(spark, sf_dir):
     # binary-column plumbing with stubbed decode (container lacks codecs)
     from clinical_trial_searchengine_spark.operators.multimodal import (
@@ -794,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bm25_function_score": _q_engine_bm25_function_score,
         "engine_bm25_multifield": _q_engine_bm25_multifield,
         "engine_bm25_porter": _q_engine_bm25_porter,
+        "engine_incremental_append": _q_engine_incremental_append,
         "term_df_stats": _q_term_df_stats,
         "doc_token_stats": _q_doc_token_stats,
         "sha256_invariant": _q_sha256_invariant,
@@ -812,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_topk_fetch": _q_semi_join_topk_fetch,
         "rrf_fusion": _q_rrf_fusion,
         "hybrid_rank_rrf": _q_hybrid_rank_rrf,
+        "hybrid_rank_ivf": _q_hybrid_rank_ivf,
         "split_bullets_udtf": _q_split_bullets_udtf,
         "minmax_norm": _q_minmax_norm,
         "window_rank": _q_window_rank,
@@ -1006,6 +1075,9 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["bm25_filtered"] = bm25_oracle_sql(_Q_TERMS, k=10, where="d.lang = 'en'")
     sqls["engine_bm25_topk"] = bm25_oracle_sql(_Q_TERMS, k=10)
+    # S5 delta-generation append: same full-corpus oracle — the append path
+    # must be score-identical to a single build over everything.
+    sqls["engine_incremental_append"] = bm25_oracle_sql(_Q_TERMS, k=10)
     sqls["engine_bm25_wand"] = bm25_oracle_sql(_Q_TERMS, k=10)
     sqls["engine_bm25_filtered"] = bm25_oracle_sql(
         _Q_TERMS, k=10, where="d.lang = 'en'"
@@ -1353,6 +1425,8 @@ SELECT n.doc_id,
 FROM normed n LEFT JOIN dnorm d USING (doc_id)
 ORDER BY final_score DESC, doc_id ASC LIMIT 10
 """
+    # IVF-backed hybrid leg: full probe is exact, identical oracle
+    sqls["hybrid_rank_ivf"] = sqls["hybrid_rank_rrf"]
     sqls["embedding_cosine_dups"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
