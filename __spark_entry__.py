@@ -835,6 +835,32 @@ def _q_hybrid_rank_ivf(spark, sf_dir):
     return hybrid_rank(sparse, dense, k=10, rrf_k=60, blend_weight=0.3)
 
 
+def _q_sessionize_events(spark, sf_dir):
+    """Gap-based per-user sessionization (gaps-and-islands batch twin of
+    the applyInPandasWithState streaming operator in
+    streaming/sessions.py — stream==batch property:
+    tests/test_streaming.py::test_stateful_sessionizer_matches_batch_twin)."""
+    from clinical_trial_searchengine_spark.streaming.sessions import (
+        sessionize_events_batch,
+    )
+
+    us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {})"
+    )
+    return sessionize_events_batch(
+        _t(spark, sf_dir, "events"), gap_minutes=360
+    ).select(
+        "user_id",
+        "session_no",
+        # integer micros: timestamp dtypes (ns vs us) don't hash stably
+        # across engines
+        F.expr(us.format("session_start")).alias("start_us"),
+        F.expr(us.format("session_end")).alias("end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     # binary-column plumbing with stubbed decode (container lacks codecs)
     from clinical_trial_searchengine_spark.operators.multimodal import (
@@ -881,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,
         "hybrid_rank_rrf": _q_hybrid_rank_rrf,
         "hybrid_rank_ivf": _q_hybrid_rank_ivf,
+        "sessionize_events": _q_sessionize_events,
         "split_bullets_udtf": _q_split_bullets_udtf,
         "minmax_norm": _q_minmax_norm,
         "window_rank": _q_window_rank,
@@ -1427,6 +1454,15 @@ ORDER BY final_score DESC, doc_id ASC LIMIT 10
 """
     # IVF-backed hybrid leg: full probe is exact, identical oracle
     sqls["hybrid_rank_ivf"] = sqls["hybrid_rank_rrf"]
+    from clinical_trial_searchengine_spark.streaming.sessions import (
+        sessionize_oracle_sql,
+    )
+
+    sqls["sessionize_events"] = f"""
+SELECT user_id, session_no, epoch_us(session_start) AS start_us,
+       epoch_us(session_end) AS end_us, n_events, sum_value
+FROM ({sessionize_oracle_sql(360)}) t
+"""
     sqls["embedding_cosine_dups"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -125,3 +125,40 @@ def test_stream_windowed_counts_match_batch(spark, dirs):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stateful_sessionizer_matches_batch_twin(spark, tmp_path):
+    """applyInPandasWithState sessionizer: every emitted (closed) session
+    must exactly equal the batch gaps-and-islands twin's session for that
+    (user, start); at most one still-open session per user is withheld."""
+    from clinical_trial_searchengine_spark.streaming.sessions import (
+        sessionize_events_batch,
+        sessionize_events_stream,
+    )
+
+    src = str(tmp_path / "src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.where("user_id < 25").write.parquet(src)
+
+    streamed = sessionize_events_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        gap_minutes=360,
+    ).toPandas()
+    batch = (
+        sessionize_events_batch(spark.read.parquet(src), gap_minutes=360)
+        .toPandas()
+        .drop(columns=["session_no"])
+    )
+
+    m = streamed.merge(
+        batch, on=["user_id", "session_start"], suffixes=("_s", "_b")
+    )
+    assert len(m) == len(streamed) > 0          # every emitted row is real
+    assert (m["n_events_s"] == m["n_events_b"]).all()
+    assert (m["session_end_s"] == m["session_end_b"]).all()
+    assert (abs(m["sum_value_s"] - m["sum_value_b"]) < 1e-6).all()
+    n_users = batch["user_id"].nunique()
+    assert len(streamed) >= len(batch) - n_users  # <=1 open session/user
