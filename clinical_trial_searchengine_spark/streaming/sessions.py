@@ -19,6 +19,15 @@ A batch twin (:func:`sessionize_events_batch`, classic gaps-and-islands
 over a window) defines the exact semantics; the streaming operator is
 property-tested against it (tests/test_streaming.py) and the batch twin
 is driver-gated against a DuckDB oracle (gate: ``sessionize_events``).
+
+Scope note: for a PLAIN session aggregate, Spark's built-in
+``F.session_window`` groupBy is the first choice (it also merges
+fully-disordered late data within the watermark).  This operator exists
+for the general shape — an arbitrary per-key state machine — and assumes
+micro-batches arrive in event-time order at SESSION granularity (file /
+Kafka arrival order); an in-horizon out-of-order event still joins the
+open session (monotonic session end), but an event older than an
+already-emitted session cannot reopen it, by design of eager emission.
 """
 
 from __future__ import annotations
@@ -152,7 +161,11 @@ def _make_session_func(gap_minutes: int):
                 yield emit(start_us, last_us, n, sv)
                 start_us, last_us, n, sv = int(ts_us), int(ts_us), 1, float(v)
             else:
-                last_us, n, sv = int(ts_us), n + 1, sv + float(v)
+                # max(): an out-of-order event inside the watermark horizon
+                # joins the open session without dragging its end backwards
+                last_us, n, sv = (
+                    max(int(ts_us), last_us), n + 1, sv + float(v)
+                )
 
         state.update((int(start_us), int(last_us), int(n), float(sv)))
         # close the open session if the user stays quiet past the gap
@@ -171,6 +184,7 @@ def sessionize_events_stream(
     output_dir: str,
     gap_minutes: int = 360,
     watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming sessionizer: drains ``source_dir`` (availableNow), emits
     CLOSED sessions to ``output_dir`` (append-only parquet), returns them.
@@ -183,7 +197,12 @@ def sessionize_events_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        # several micro-batches per drain: exercises open-session state
+        # carried across batches (availableNow still bounds the run)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     # Spark's event-time machinery requires TIMESTAMP (not NTZ); the cast
     # reinterprets under the session timezone, which cancels out — the
     # kernel works on gap DIFFERENCES and emits wall-clock-identical values

@@ -162,3 +162,57 @@ def test_stateful_sessionizer_matches_batch_twin(spark, tmp_path):
     assert (abs(m["sum_value_s"] - m["sum_value_b"]) < 1e-6).all()
     n_users = batch["user_id"].nunique()
     assert len(streamed) >= len(batch) - n_users  # <=1 open session/user
+
+
+def test_stateful_sessionizer_state_survives_micro_batches(spark, tmp_path):
+    """Open sessions must carry across micro-batches: the source is split
+    into time-range-ordered files and drained a few files per trigger, so
+    most users' sessions span batches; the emitted set must still match
+    the batch twin exactly."""
+    from pyspark.sql import functions as F
+
+    from clinical_trial_searchengine_spark.streaming.sessions import (
+        sessionize_events_batch,
+        sessionize_events_stream,
+    )
+
+    src = str(tmp_path / "src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        "user_id < 25"
+    )
+    # the file source drains oldest-mtime-first, so land six sequential
+    # time-sliced files — the production arrival order the watermark
+    # contract assumes (a single parallel write gives near-identical
+    # mtimes and hence arbitrary, event-time-violating batch order)
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) / 6
+    for i in range(6):
+        a = lo + step * i
+        b = hi if i == 5 else lo + step * (i + 1)
+        cond = (F.col("ts") >= a) & (
+            (F.col("ts") <= b) if i == 5 else (F.col("ts") < b)
+        )
+        events.where(cond).coalesce(1).write.mode("append").parquet(src)
+
+    streamed = sessionize_events_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        gap_minutes=360,
+        max_files_per_trigger=2,
+    ).toPandas()
+    batch = (
+        sessionize_events_batch(spark.read.parquet(src), gap_minutes=360)
+        .toPandas()
+        .drop(columns=["session_no"])
+    )
+
+    m = streamed.merge(
+        batch, on=["user_id", "session_start"], suffixes=("_s", "_b")
+    )
+    assert len(m) == len(streamed) > 0
+    assert (m["n_events_s"] == m["n_events_b"]).all()
+    assert (m["session_end_s"] == m["session_end_b"]).all()
+    n_users = batch["user_id"].nunique()
+    assert len(streamed) >= len(batch) - n_users
