@@ -1,8 +1,8 @@
 """Custom stateful streaming operator: per-user event sessionization.
 
 The one UDF shape the engine had not yet exercised —
-``applyInPandasWithState`` — implementing an operator Spark has no
-built-in for: gap-based sessionization (a session = consecutive events of
+``applyInPandasWithState`` — demonstrated on an arbitrary per-key state
+machine: gap-based sessionization (a session = consecutive events of
 one user with inter-event gaps below a threshold; a quiet gap closes it).
 The reference has no streaming at all (SURVEY.md §2.9); this is part of
 the training-data-pipeline surface (session aggregates are a standard
@@ -54,10 +54,11 @@ def sessionize_events_batch(events: DataFrame, gap_minutes: int = 360) -> DataFr
 
     One window pass: ``lag(ts)`` marks session breaks (null or gap >
     ``gap_minutes``), a running sum of breaks numbers each user's sessions,
-    then one hash aggregation per (user, session).  Two shuffles total
-    (window + groupBy share the user_id hash partitioning, so AQE reuses
-    the exchange) — the plan holds at any event count; per-user window
-    state is a single row.
+    then one hash aggregation per (user, session).  ONE shuffle total
+    (plan-audited): both windows share one user_id sort, and the groupBy's
+    ClusteredDistribution(user_id, session_no) is satisfied by the
+    window's hashpartitioning(user_id) subset, so no second exchange —
+    the plan holds at any event count; per-user window state is one row.
     """
     gap_us = int(gap_minutes) * 60_000_000
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
