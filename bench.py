@@ -112,19 +112,21 @@ def main() -> None:
         per_q.append(dt)
 
     # -- 2b. scoring-kernel comparison on the warmed index -------------------
-    # pruned is the DEFAULT search path; this entry is the standing evidence
-    # that block-max skipping is never slower than decode-everything at this
-    # scale (and quantifies the win).  wand is the documented exact
-    # alternative (per-posting pointer loop — expected slowest; kept for its
-    # equivalence property, not speed).  Six-query batches, one warm pass
-    # per kernel closure first.
+    # "auto" is the DEFAULT search path: per-query df-adaptive choice
+    # between block-max 'pruned' (candidate pool >> k) and 'exhaustive'
+    # (rare-term queries, where skip bookkeeping is pure overhead) — this
+    # cell is the standing evidence auto <= min(pruned, exhaustive) on a
+    # mixed batch.  wand is the documented exact alternative (per-posting
+    # pointer loop — expected slowest; kept for its equivalence property,
+    # not speed).  Six-query batches, one warm pass per kernel first.
     kq = list(reference_queries())[:6]
-    for kern in ("pruned", "exhaustive", "wand"):
+    for kern in ("auto", "pruned", "exhaustive", "wand"):
+        arg = None if kern == "auto" else kern
         for q in kq:
-            eng.search_topk_rows(q["text"], k=q["k"], kernel=kern)
+            eng.search_topk_rows(q["text"], k=q["k"], kernel=arg)
         t0 = time.time()
         for q in kq:
-            eng.search_topk_rows(q["text"], k=q["k"], kernel=kern)
+            eng.search_topk_rows(q["text"], k=q["k"], kernel=arg)
         queries[f"kernel_{kern}_6q"] = round(time.time() - t0, 3)
 
     # -- 3. headline DataFrame ops on driver tables -------------------------

@@ -592,11 +592,20 @@ def _scored_df(
     kernel_name: str | None = None,
 ) -> DataFrame:
     meta = handle.meta
+    dfs = handle.global_dfs(qtf)
+    if kernel_name is None and not use_wand:
+        # adaptive default (all kernels are rank-identical, so this is a
+        # pure cost choice): block-skip bookkeeping only pays once the
+        # candidate pool dwarfs k — rare-term/no-hit queries never fill
+        # the heap threshold, so every block stays competitive and the
+        # per-block upper-bound pass is pure overhead
+        n_cand = sum(dfs.get(t, 0) for t in qtf)
+        kernel_name = "pruned" if n_cand > 16 * k else "exhaustive"
     make = _KERNELS[kernel_name or ("wand" if use_wand else "exhaustive")]
     kernel = make(
         dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
         meta["k1"], meta["b"], meta["shard_size"], k,
-        bases=handle.bases, dfs=handle.global_dfs(qtf),
+        bases=handle.bases, dfs=dfs,
     )
     postings = handle.postings.where(F.col("term").isin(list(qtf)))
     if handle.warmed:
@@ -630,9 +639,12 @@ def search(
 ) -> DataFrame:
     """Top-k BM25. Returns DataFrame (doc_id, score [, repo/path/...]).
 
-    ``kernel``: 'pruned' (default — vectorized block-max skip, the hot-term
-    scale path), 'exhaustive' (decode-everything), or 'wand' (doc-at-a-time
-    block-max WAND); all three are rank-identical (equivalence-tested).
+    ``kernel``: None (default) picks adaptively by global df — 'pruned'
+    (vectorized block-max skip) once the candidate pool dwarfs k, else
+    'exhaustive' (decode-everything; rare-term queries never fill the heap
+    threshold, so skip bookkeeping is pure overhead there); 'wand' is the
+    doc-at-a-time block-max alternative.  All three are rank-identical
+    (equivalence-tested), so the choice is cost-only.
     Filter/boost paths always score exhaustively (they need every match).
 
     ``boost``: optional (doc_id, _boost) DataFrame — multiplicative
@@ -671,7 +683,7 @@ def search(
     else:
         scored = _scored_df(
             handle, qtf, k, use_wand,
-            kernel_name=kernel or ("wand" if use_wand else "pruned"),
+            kernel_name=kernel or ("wand" if use_wand else None),
         )
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if include_meta:
