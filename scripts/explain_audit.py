@@ -50,12 +50,15 @@ def main() -> None:
         plan = explain(df)
         checks = []
         for req_name, needles in requirements:
-            ok = all(
-                (n[3:] not in plan) if n.startswith("NO_") else (n in plan)
-                for n in needles
-            ) if any(n.startswith("NO_") for n in needles) else any(
-                n in plan for n in needles
-            )
+            if callable(needles):
+                ok = needles(plan)
+            else:
+                ok = all(
+                    (n[3:] not in plan) if n.startswith("NO_") else (n in plan)
+                    for n in needles
+                ) if any(n.startswith("NO_") for n in needles) else any(
+                    n in plan for n in needles
+                )
             checks.append((req_name, ok))
             if not ok:
                 failures.append(f"{title}: {req_name}")
@@ -240,6 +243,35 @@ def main() -> None:
         execute=True,  # AQE: the broadcast conversions + codegen ids only
         # appear on the final plan
     )
+    from clinical_trial_searchengine_spark.streaming.sessions import (
+        sessionize_events_batch,
+    )
+
+    audit(
+        "Sessionization (gaps-and-islands batch twin)",
+        "Two windows + a grouped aggregation over (user, session) must "
+        "cost ONE shuffle: both windows share a single user_id sort, and "
+        "the groupBy's ClusteredDistribution(user_id, session_no) is "
+        "satisfied by the window's hashpartitioning(user_id) subset — at "
+        "10^12 events a second exchange here would double the job's "
+        "network bill for nothing.",
+        sessionize_events_batch(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ),
+        [
+            ("exactly one Exchange in the plan",
+             lambda p: len(
+                 __import__("re").findall(
+                     r"^\(\d+\) Exchange", p, __import__("re").M
+                 )
+             ) == 1),
+            ("partial aggregation before the final (map-side combine)",
+             ["partial_min", "partial_count"]),
+            ("no Python eval in the plan",
+             ["NO_BatchEvalPython", "NO_ArrowEvalPython"]),
+        ],
+    )
+
     # -- write EXPLAIN.md ----------------------------------------------------
     out = ["# EXPLAIN — physical-plan audit of the scale-critical paths\n",
            "Generated by `python scripts/explain_audit.py` "
