@@ -39,6 +39,28 @@ class SearchEngine:
         self._handle = None
         return incremental_index(self.spark, corpus, self.index_dir, **kwargs)
 
+    def upsert_documents(self, corpus: DataFrame, **kwargs) -> dict:
+        """S5 REPLACE semantics: a re-committed (repo, path) supersedes its
+        older versions immediately (tombstone mask), without waiting for a
+        compaction (reference: backend/db/scrape_clinical_trials.py:332-462).
+        Stats stay Lucene-parity-stale until compaction — see
+        streaming/incremental.upsert_index."""
+        from clinical_trial_searchengine_spark.streaming.incremental import (
+            upsert_index,
+        )
+
+        self._handle = None
+        return upsert_index(self.spark, corpus, self.index_dir, **kwargs)
+
+    def delete_documents(self, keys: DataFrame) -> dict:
+        """Tombstone every doc matching ``keys`` (repo, path)."""
+        from clinical_trial_searchengine_spark.streaming.incremental import (
+            delete_documents,
+        )
+
+        self._handle = None
+        return delete_documents(self.spark, keys, self.index_dir)
+
     def compact(self, corpus: DataFrame, **kwargs) -> dict:
         """Rewrite all generations as one (full rebuild over the given
         corpus — use when generation count grows enough to hurt query

@@ -390,6 +390,17 @@ def _tokenize_ascii_bytes(strings):
     bufs = strings.buffers()
     off_all = np.frombuffer(bufs[1], dtype=np.int32)
     off = off_all[strings.offset : strings.offset + n + 1].astype(np.int64)
+    if strings.null_count:
+        # The Arrow spec allows null slots to carry non-empty offset ranges
+        # with arbitrary bytes; scanning those would fabricate tokens.
+        # Spark-produced batches use empty ranges for nulls (zero extra
+        # cost), but the public surface accepts arbitrary arrays — verify,
+        # and punt to the regex path (which honours validity) otherwise.
+        validity = np.unpackbits(
+            np.frombuffer(bufs[0], dtype=np.uint8), bitorder="little"
+        )[strings.offset : strings.offset + n].astype(bool)
+        if (off[1:][~validity] != off[:-1][~validity]).any():
+            return None
     data_all = (
         np.frombuffer(bufs[2], dtype=np.uint8)
         if bufs[2] is not None

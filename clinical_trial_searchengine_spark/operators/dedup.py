@@ -126,10 +126,17 @@ def ngram_jaccard_pairs(
             sh.join(freq, "shingle")
             .withColumn("pos", F.row_number().over(w))
             .join(sizes, "id")
+            # Conservative bound: double rounding can push t*n just above
+            # the exact integer (0.8*5 -> 4.0000000000000002), making ceil
+            # over-tight and dropping a pair at Jaccard == t.  Subtracting
+            # an epsilon before ceil only ever ADDS candidates; exactness
+            # is restored by the array_intersect verify below.
             .where(
                 F.col("pos")
                 <= F.col("n_shingles")
-                - F.ceil(F.lit(threshold) * F.col("n_shingles"))
+                - F.ceil(
+                    F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9)
+                )
                 + 1
             )
             .select("id", "shingle", "n_shingles")
@@ -139,10 +146,12 @@ def ngram_jaccard_pairs(
             .join(pref.alias("b"), "shingle")
             .where(
                 (F.col("a.id") < F.col("b.id"))
-                # length filter: t * max(|a|,|b|) <= min(|a|,|b|)
+                # length filter: t * max(|a|,|b|) <= min(|a|,|b|); epsilon-
+                # slackened for the same float double-rounding reason
                 & (
                     F.lit(threshold)
                     * F.greatest("a.n_shingles", "b.n_shingles")
+                    - F.lit(1e-9)
                     <= F.least("a.n_shingles", "b.n_shingles")
                 )
             )

@@ -70,6 +70,39 @@ def hybrid_rank(
     )
 
 
+def dense_only_rank(
+    dense: DataFrame,
+    k: int = 10,
+    dense_score_col: str = "cosine",
+    id_col: str = "doc_id",
+    filter_doc_ids: DataFrame | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """The reference's dense-only fallback ranking: min-max normalize the
+    dense scores and serve them as final_score (reference:
+    backend/api/main.py:832-933, `dense_only_fallback`).
+
+    Filters are honored with a semi-join on the candidate pool (J2 shape) —
+    the dense leg is <= dense_n rows, so the semi-join is broadcast-cheap at
+    any corpus scale."""
+    if filter_doc_ids is not None:
+        dense = dense.join(
+            filter_doc_ids.selectExpr(f"doc_id as {id_col}"),
+            id_col,
+            "left_semi",
+        )
+    normed = minmax_normalize(
+        dense.select(id_col, dense_score_col), dense_score_col, "final_score"
+    )
+    final = F.col("final_score")
+    if round_to is not None:
+        final = F.round(final, round_to)
+    return topk(
+        normed.select(F.col(id_col), final.alias("final_score")),
+        "final_score", k, id_col,
+    )
+
+
 def hybrid_search(
     engine,
     query_text: str,
@@ -105,9 +138,16 @@ def hybrid_search(
         ivf_search,
     )
 
+    if emb is None and ivf_index_dir is None:
+        raise ValueError(
+            "hybrid_search needs a dense leg: provide emb or ivf_index_dir"
+        )
     sparse = engine.search(
         query_text, k=sparse_n, filter_doc_ids=filter_doc_ids
     )
+    # Materialize the (<= sparse_n row) candidate pool once: the emptiness
+    # probe below and the fused ranking reuse it without re-running BM25.
+    sparse = sparse.localCheckpoint(eager=True)
     if ivf_index_dir is not None:
         dense = ivf_search(
             engine.spark, ivf_index_dir, query_vec, k=dense_n, n_probe=n_probe
@@ -117,6 +157,15 @@ def hybrid_search(
     else:
         dense = cosine_topk(emb, query_vec, k=dense_n, id_col=id_col).select(
             F.col(id_col).alias("doc_id"), "cosine"
+        )
+    if not sparse.head(1):
+        # BM25 leg empty (e.g. out-of-vocabulary query): the RRF drop rule
+        # would annihilate the result set, so serve the dense-only ranking
+        # instead — matching the reference's fallback (backend/api/
+        # main.py:764-774).  The sparse leg already honored the filter; the
+        # fallback re-applies it to the dense pool via semi-join.
+        return dense_only_rank(
+            dense, k=k, filter_doc_ids=filter_doc_ids
         )
     return hybrid_rank(
         sparse, dense, k=k, rrf_k=rrf_k, blend_weight=blend_weight

@@ -83,6 +83,18 @@ def _empty_result() -> pd.DataFrame:
     )
 
 
+def _tomb_local(tombs: np.ndarray, gbase: int, nd: int) -> np.ndarray:
+    """Shard-local offsets of tombstoned GLOBAL doc_ids (``tombs`` sorted).
+
+    Tombstones mask superseded/deleted docs out of results between
+    compactions (Lucene deleted-docs semantics — see streaming/incremental
+    .upsert_index); global stats intentionally keep counting them until the
+    next compaction."""
+    lo = int(np.searchsorted(tombs, gbase))
+    hi = int(np.searchsorted(tombs, gbase + nd))
+    return (tombs[lo:hi] - gbase).astype(np.int64)
+
+
 def _postings_by_term(p_pdf: pd.DataFrame, need_df: bool) -> dict:
     """{term: (postings_bytes, df_or_None)} via .values arrays —
     pd.itertuples has a ~1.4 ms fixed cost per call (profiled), paid once
@@ -96,7 +108,7 @@ def _postings_by_term(p_pdf: pd.DataFrame, need_df: bool) -> dict:
 
 
 def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
-                            bases=None, dfs=None):
+                            bases=None, dfs=None, tombs=None):
     """Vectorized per-(gen, shard) kernel: decode-all, accumulate, bounded
     top-k.
 
@@ -131,13 +143,15 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             acc[off] += (qtf[term] * _idf(N, df)) * (
                 tfs.astype(np.float64) / (tfs + Kd)
             )
+        if tombs is not None and tombs.size:
+            acc[_tomb_local(tombs, base + bases[gen], dl.size)] = 0.0
         return _topk_from_scores(acc, base + bases[gen], k)
 
     return kernel
 
 
 def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
-                        bases=None, dfs=None):
+                        bases=None, dfs=None, tombs=None):
     """Vectorized ITERATIVE block-max pruned kernel: WAND-grade block
     skipping with no per-posting Python (the scale answer to 'exhaustive
     decodes every posting of every hot term'; complements §2.8-B6's
@@ -191,6 +205,15 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
         dl = _norms_dl(n_pdf)
         nd = dl.size
         by_term = _postings_by_term(p_pdf, need_df=dfs is None)
+        # tombstone mask applied at contribution time so the working array
+        # (and thus theta) never counts dead docs — an inflated theta could
+        # otherwise prune a live doc that belongs in the live top-k
+        dead = None
+        if tombs is not None and tombs.size:
+            tl = _tomb_local(tombs, base + bases[gen], nd)
+            if tl.size:
+                dead = np.zeros(nd, dtype=bool)
+                dead[tl] = True
 
         # directories + weights + per-term block upper-bound step profiles
         dirs, steps = {}, {}
@@ -218,6 +241,9 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
 
         def contrib_of(term, ids_t, tfs_t):
             off = (ids_t - np.uint64(base)).astype(np.int64)
+            if dead is not None:
+                keep = ~dead[off]
+                off, tfs_t = off[keep], tfs_t[keep]
             Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
             return off, dirs[term][0] * (
                 tfs_t.astype(np.float64) / (tfs_t + Kd)
@@ -281,7 +307,7 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
 
 
 def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k,
-                      bases=None, dfs=None):
+                      bases=None, dfs=None, tombs=None):
     """Block-max WAND per-shard kernel (north rule; SURVEY.md §2.8-B6).
 
     Term upper bound uses dl->0, which is STRICTLY above any achievable
@@ -362,6 +388,15 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k,
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size
         dl = _norms_dl(n_pdf)
+        # dead docs are scored (states must advance past them) but never
+        # pushed, so theta stays the k-th best LIVE score — a valid (never
+        # inflated) pruning bound for the live top-k
+        dead: set[int] = set()
+        if tombs is not None and tombs.size:
+            dead = set(
+                (base + _tomb_local(tombs, base + bases[gen], dl.size))
+                .tolist()
+            )
 
         states = []
         by_term = _postings_by_term(p_pdf, need_df=dfs is None)
@@ -409,6 +444,8 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             pivot_doc = live[pivot_i].cur_doc()
             if live[0].cur_doc() == pivot_doc:
                 s = score_doc(pivot_doc)
+                if pivot_doc in dead:
+                    continue  # advance happened in score_doc; never push
                 entry = (s, -pivot_doc)
                 if len(heap) < k:
                     heapq.heappush(heap, entry)
@@ -499,6 +536,13 @@ class IndexHandle:
         self.warmed = False
         self._df_cache: dict[str, int] = {}
         self._df_preloaded = False
+        # upsert/delete tombstones (GLOBAL doc_ids, sorted) — masked inside
+        # the kernels; empty for indexes that never upserted (the common
+        # case: zero overhead).  Stats keep counting tombstoned docs until
+        # compaction (Lucene deleted-docs parity, see incremental.py).
+        self.tombstones = np.array(
+            seg.read_tombstones(index_dir), dtype=np.int64
+        )
 
     def _term_stats_path(self) -> str:
         return seg.path_of(
@@ -527,10 +571,13 @@ class IndexHandle:
         return {t: self._df_cache.get(t, 0) for t in terms}
 
     def doc_meta_df(self) -> DataFrame:
-        """doc_meta across generations with GLOBAL doc_ids."""
+        """doc_meta across generations with GLOBAL doc_ids; tombstoned
+        (superseded/deleted) docs are filtered out — invisible everywhere."""
         if not self.multi_gen:
-            return self.spark.read.parquet(
-                seg.path_of(self.index_dir, seg.DOC_META)
+            return self._drop_tombstoned(
+                self.spark.read.parquet(
+                    seg.path_of(self.index_dir, seg.DOC_META)
+                )
             )
         parts = []
         for g in self._gens:
@@ -544,7 +591,14 @@ class IndexHandle:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        return self._drop_tombstoned(out)
+
+    def _drop_tombstoned(self, df: DataFrame) -> DataFrame:
+        if not self.tombstones.size:
+            return df
+        return df.where(
+            ~F.col("doc_id").isin([int(x) for x in self.tombstones])
+        )
 
     def warm(
         self, postings: bool = True, preload_terms_cap: int = 2_000_000
@@ -606,6 +660,7 @@ def _scored_df(
         dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
         meta["k1"], meta["b"], meta["shard_size"], k,
         bases=handle.bases, dfs=dfs,
+        tombs=handle.tombstones if handle.tombstones.size else None,
     )
     postings = handle.postings.where(F.col("term").isin(list(qtf)))
     if handle.warmed:
@@ -713,7 +768,7 @@ def search_all(
 
 def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
                        b: float, shard_size: int, k: int,
-                       bases=None, dfs=None):
+                       bases=None, dfs=None, tombs=None):
     """Multi-query per-shard kernel: decode each needed posting list ONCE,
     accumulate into one score vector per query, bounded top-k per query.
 
@@ -735,6 +790,11 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
         base = shard * shard_size
         dl = _norms_dl(n_pdf)
         by_term = _postings_by_term(p_pdf, need_df=dfs is None)
+        tl = (
+            _tomb_local(tombs, base + bases[gen], dl.size)
+            if tombs is not None and tombs.size
+            else None
+        )
         # decode + per-term normalized contribution, shared across queries
         contrib: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
         for term in all_terms:
@@ -757,6 +817,8 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
                     continue
                 off, norm_tf, idf = c
                 acc[off] += (qtf[term] * idf) * norm_tf
+            if tl is not None and tl.size:
+                acc[tl] = 0.0
             top = _topk_from_scores(acc, base + bases[gen], k)
             if len(top):
                 top.insert(0, "query_id", qid)
@@ -797,6 +859,7 @@ def search_many(
         queries, meta["num_docs"], meta["avg_doc_len"] or 1.0,
         meta["k1"], meta["b"], meta["shard_size"], k,
         bases=handle.bases, dfs=handle.global_dfs(terms),
+        tombs=handle.tombstones if handle.tombstones.size else None,
     )
     postings = handle.postings.where(F.col("term").isin(terms))
     if handle.warmed:

@@ -54,6 +54,33 @@ GENERATIONS = "generations.json"
 TERM_STATS_MERGED = "term_stats_merged"
 STATS_MERGED = "stats_merged"
 
+# -- tombstones (upsert/delete between compactions) ---------------------------
+# GLOBAL doc_ids of superseded (re-committed (repo, path)) or deleted docs.
+# Applied as a scoring mask inside the query kernels; global BM25 stats keep
+# counting tombstoned docs until the next compaction — exactly Lucene's
+# deleted-docs semantics (deletes are masks, stats refresh at segment merge).
+# Bounded by churn between compactions: the same compaction policy that caps
+# generation fan-out caps tombstone growth, so the set stays broadcastable.
+TOMBSTONES = "tombstones.json"
+
+
+def read_tombstones(index_dir: str) -> list[int]:
+    p = os.path.join(index_dir, TOMBSTONES)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_tombstones(index_dir: str, doc_ids: list[int]) -> None:
+    write_meta_named(index_dir, sorted(set(int(d) for d in doc_ids)), TOMBSTONES)
+
+
+def clear_tombstones(index_dir: str) -> None:
+    p = os.path.join(index_dir, TOMBSTONES)
+    if os.path.exists(p):
+        os.remove(p)
+
 
 def gen_dir(index_dir: str, gen: int) -> str:
     return index_dir if gen == 0 else os.path.join(index_dir, f"gen={gen}")

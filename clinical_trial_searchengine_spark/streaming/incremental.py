@@ -164,6 +164,14 @@ def incremental_index(
 
     # delta generation: same analyzer/scoring/layout params as the parent
     gen_k = max(int(g["gen"]) for g in gens) + 1
+    return _append_generation(
+        spark, new, index_dir, meta, gens, gen_k, n_new, build_kwargs
+    )
+
+
+def _append_generation(spark, new, index_dir, meta, gens, gen_k, n_new,
+                       build_kwargs):
+    """Build the delta rows as generation ``gen_k`` and re-merge stats."""
     base = sum(int(g["num_docs"]) for g in gens)
     forced = dict(build_kwargs)
     for key in ("mode", "shard_size", "k1", "b", "norm_chunk"):
@@ -178,3 +186,105 @@ def incremental_index(
     seg.write_generations(index_dir, gens)
     result = {**meta, **merged, "new_docs": n_new, "generations": len(gens)}
     return result
+
+
+def _doc_meta_global(spark: SparkSession, index_dir: str,
+                     gens: list[dict]) -> DataFrame:
+    """(gdoc_id, repo, path, commit) across generations — GLOBAL ids."""
+    parts = []
+    for g in gens:
+        dm = spark.read.parquet(
+            seg.path_of(seg.gen_dir(index_dir, int(g["gen"])), seg.DOC_META)
+        )
+        parts.append(
+            dm.select(
+                (F.col("doc_id") + F.lit(int(g["base"]))).alias("gdoc_id"),
+                *_KEY,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _gens_of(index_dir: str, meta: dict) -> list[dict]:
+    return seg.read_generations(index_dir) or [
+        {"gen": 0, "num_docs": int(meta["num_docs"]), "base": 0}
+    ]
+
+
+def upsert_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    **kwargs,
+) -> dict:
+    """S5 REPLACE semantics without a full compaction: a row whose
+    (repo, path) already exists under an OLDER commit supersedes it — the
+    new version is folded in as a delta generation and the old versions'
+    global doc_ids are TOMBSTONED, so queries serve only the new version
+    immediately (reference: backend/db/scrape_clinical_trials.py:332-462,
+    ON CONFLICT row+children replace).
+
+    Lucene-parity approximation (documented): tombstoned docs stay masked
+    out of results but keep counting in num_docs/avgdl/df until the next
+    compaction — exactly how Lucene serves deletes between segment merges.
+    Scores become oracle-exact again after ``compact()`` / any automatic
+    compaction (which also clears the tombstone set).
+
+    ``corpus`` should be the current-truth snapshot (at minimum a superset
+    of the changed rows) — the automatic compaction policy rebuilds over it.
+    """
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        return incremental_index(spark, corpus, index_dir, **kwargs)
+
+    meta = seg.read_meta(index_dir)
+    gens = _gens_of(index_dir, meta)
+    existing = _doc_meta_global(spark, index_dir, gens)
+    new = corpus.join(existing.select(*_KEY), _KEY, "left_anti")
+    # old versions of re-committed (repo, path) keys -> tombstones.
+    # Bounded by churn between compactions (same policy that caps generation
+    # fan-out), so the collect stays small and broadcastable.
+    superseded = existing.join(
+        new.select("repo", "path").distinct(), ["repo", "path"], "left_semi"
+    )
+    tomb_ids = [int(r["gdoc_id"]) for r in superseded.select("gdoc_id").collect()]
+
+    out = incremental_index(spark, corpus, index_dir, **kwargs)
+    if out.get("compacted") or kwargs.get("full_rebuild"):
+        # the rebuild indexed only current-truth rows: tombstones are moot
+        seg.clear_tombstones(index_dir)
+        out["tombstones"] = 0
+        return out
+    if tomb_ids:
+        seg.write_tombstones(
+            index_dir, seg.read_tombstones(index_dir) + tomb_ids
+        )
+    out["tombstones"] = len(seg.read_tombstones(index_dir))
+    return out
+
+
+def delete_documents(
+    spark: SparkSession, keys: DataFrame, index_dir: str
+) -> dict:
+    """Tombstone every doc matching ``keys`` (repo, path) — the delete half
+    of S5's replace/delete semantics.  Same Lucene-parity stats note as
+    :func:`upsert_index`; re-adding a deleted (repo, path, commit) triple
+    requires a new commit or a compaction (the seen-key anti-join skips
+    exact re-adds by design — idempotent ingest)."""
+    meta = seg.read_meta(index_dir)
+    gens = _gens_of(index_dir, meta)
+    existing = _doc_meta_global(spark, index_dir, gens)
+    hit = existing.join(
+        keys.select("repo", "path").distinct(), ["repo", "path"], "left_semi"
+    )
+    tomb_ids = [int(r["gdoc_id"]) for r in hit.select("gdoc_id").collect()]
+    if tomb_ids:
+        seg.write_tombstones(
+            index_dir, seg.read_tombstones(index_dir) + tomb_ids
+        )
+    return {
+        "deleted": len(tomb_ids),
+        "tombstones": len(seg.read_tombstones(index_dir)),
+    }

@@ -162,10 +162,18 @@ def _make_session_func(gap_minutes: int):
                 yield emit(start_us, last_us, n, sv)
                 start_us, last_us, n, sv = int(ts_us), int(ts_us), 1, float(v)
             else:
-                # max(): an out-of-order event inside the watermark horizon
-                # joins the open session without dragging its end backwards
-                last_us, n, sv = (
-                    max(int(ts_us), last_us), n + 1, sv + float(v)
+                # min()/max(): an out-of-order event inside the watermark
+                # horizon joins the open session without dragging its end
+                # backwards, and extends session_start backwards if it
+                # predates it (even by more than the gap — once it reached
+                # this branch it belongs to the open session; cross-batch
+                # splits on such stragglers are impossible to reconstruct
+                # from O(1) state, so fold-in is the documented semantic)
+                start_us, last_us, n, sv = (
+                    min(int(ts_us), start_us),
+                    max(int(ts_us), last_us),
+                    n + 1,
+                    sv + float(v),
                 )
 
         state.update((int(start_us), int(last_us), int(n), float(sv)))

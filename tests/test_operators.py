@@ -151,6 +151,63 @@ def test_hybrid_search_end_to_end(built_index, spark):
     assert filtered and all(r["doc_id"] in allowed_ids for r in filtered)
 
 
+def test_hybrid_search_dense_only_fallback(built_index, spark):
+    """An out-of-vocabulary query empties the BM25 leg; instead of the RRF
+    drop rule annihilating the result set, hybrid_search serves the dense
+    ranking min-max-normalized (reference: backend/api/main.py:764-774,
+    832-933 dense_only_fallback).  Filters still honored via semi-join."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from clinical_trial_searchengine_spark.operators.hybrid import (
+        dense_only_rank,
+        hybrid_search,
+    )
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16)).round(3)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [float(x) for x in vecs[3]]
+    oov = "zqxjvzzz frobnicatrixx"  # no hits in the corpus
+    assert not built_index.search(oov, 10).head(1)
+    out = hybrid_search(
+        built_index, oov, emb, qv, k=10, sparse_n=30, dense_n=60
+    ).collect()
+    assert len(out) == 10
+    assert all(0.0 <= r["final_score"] <= 1.0 for r in out)
+    # fallback == dense-only ranking of the same pool
+    dense = cosine_topk(emb, qv, k=60, id_col="vec_id").select(
+        F.col("vec_id").alias("doc_id"), "cosine"
+    )
+    exp = dense_only_rank(dense, k=10).collect()
+    assert [(r["doc_id"], r["final_score"]) for r in out] == [
+        (r["doc_id"], r["final_score"]) for r in exp
+    ]
+
+    # filter context honored in the fallback (J2 semi-join shape)
+    dm = spark.read.parquet(seg.path_of(built_index.index_dir, seg.DOC_META))
+    allowed = dm.where(F.col("lang") == "python").select("doc_id")
+    allowed_ids = {r["doc_id"] for r in allowed.collect()}
+    got = hybrid_search(
+        built_index, oov, emb, qv, k=10, sparse_n=30, dense_n=60,
+        filter_doc_ids=allowed,
+    ).collect()
+    assert got and all(r["doc_id"] in allowed_ids for r in got)
+
+    # missing dense leg is a clear argument error, not a deep AttributeError
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dense leg"):
+        hybrid_search(built_index, "def license", None, qv)
+
+
 def test_ivf_materialized_index_prunes_partitions(spark, tmp_path):
     """build_ivf_index writes _list-partitioned parquet; ivf_search's scan
     must show partition filters on _list (only probed lists are read) and
