@@ -44,26 +44,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q_bm25_topk(spark, sf_dir):
-    return bm25_topk(_t(spark, sf_dir, "documents"), _Q_TERMS, k=10)
-
-
-def _q_bm25_function_score(spark, sf_dir):
-    # B3: multiplicative boosts (reference: backend/api/main.py:293-314)
+def _q_bm25_suite(spark, sf_dir):
+    """DataFrame-path BM25 shapes folded into ONE gate (driver-window
+    economy, VERDICT r3 task #1): plain top-k (B1), multiplicative
+    function-score (B3, reference: backend/api/main.py:293-314), and exact
+    filter context (B4) — variant-tagged union, one oracle."""
     docs = _t(spark, sf_dir, "documents")
+    plain = bm25_topk(docs, _Q_TERMS, k=10)
     boost = docs.select(
         "doc_id",
         F.when(F.col("lang") == "en", 1.15).otherwise(1.0).alias("_boost"),
     )
-    return bm25_topk(docs, _Q_TERMS, k=10, boost=boost)
-
-
-def _q_bm25_filtered(spark, sf_dir):
-    # B4 filter context: membership only, scores unchanged
-    docs = _t(spark, sf_dir, "documents")
-    return bm25_topk(
+    boosted = bm25_topk(docs, _Q_TERMS, k=10, boost=boost)
+    filtered = bm25_topk(
         docs, _Q_TERMS, k=10,
         filter_df=docs.where(F.col("lang") == "en").select("doc_id"),
+    )
+    return (
+        plain.select(F.lit("plain").alias("variant"), "doc_id", "score")
+        .unionByName(
+            boosted.select(F.lit("boost").alias("variant"), "doc_id", "score")
+        )
+        .unionByName(
+            filtered.select(
+                F.lit("filter").alias("variant"), "doc_id", "score"
+            )
+        )
     )
 
 
@@ -130,13 +136,25 @@ def _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10, index_dir=None):
 
 
 def _q_engine_bm25_wand(spark, sf_dir):
-    """B6: block-max WAND kernel against the SAME DuckDB BM25 oracle —
-    driver-verified WAND == exhaustive == oracle.  Over-fetch k=50 so a
-    raw-score tie at the engine's cut cannot flip the oracle-ordered
+    """B6: block-max dynamic pruning against the SAME DuckDB BM25 oracle.
+    Exercises BOTH the production vectorized block-max kernel ('pruned',
+    what the public use_wand/'wand' surface now resolves to) and the
+    demoted doc-at-a-time Python reference ('wand_ref', test-only oracle)
+    — driver-verified pruned == wand_ref == SQL oracle.  Over-fetch k=50
+    so a raw-score tie at the engine's cut cannot flip the oracle-ordered
     top-10."""
     eng = _engine_for(spark, sf_dir)
-    scored = eng.search("merge join filter", k=50, use_wand=True)
-    return _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10)
+    pruned = _engine_topk_as_orig_ids(
+        spark, sf_dir, eng.search("merge join filter", k=50, kernel="pruned")
+    )
+    ref = _engine_topk_as_orig_ids(
+        spark, sf_dir,
+        eng.search("merge join filter", k=50, kernel="wand_ref"),
+    )
+    got = pruned.exceptAll(ref)
+    if got.head(1):
+        raise AssertionError("pruned and wand_ref kernels disagree")
+    return pruned
 
 
 def _q_engine_bm25_filtered(spark, sf_dir):
@@ -230,16 +248,76 @@ def _q_engine_bm25_multifield(spark, sf_dir):
     )
 
 
+_PORTER_SIDE = "/tmp/ctse_porter_oracle_tokens.parquet"
+_PORTER_QUERY = "merging joins filtering"
+
+
 def _q_engine_bm25_porter(spark, sf_dir):
     """North-rule analyzer chain (tokenize -> stopwords -> Porter) on the
-    segment engine. No SQL oracle (stemming is not SQL-expressible);
-    rows-only driver check — exactness is covered by
-    tests/test_engine_rank_identity.py against the single-node oracle."""
-    eng = _engine_for(spark, sf_dir, mode="porter")
-    return (
-        eng.search("merging joins filtering", k=10)
-        .select("doc_id", F.round("score", 4).alias("score"))
+    segment engine, now with a REAL DuckDB oracle: the Porter-stemmed token
+    stream is materialized to a parquet side table by the INDEPENDENT
+    scalar analyzer (``tokenize_text`` — golden-vector-tested in
+    tests/test_analysis.py, a different code path from the engine's
+    vectorized Arrow build kernel), and the oracle computes BM25 in SQL
+    over that stream.  DuckDB itself cannot stem offline (fts extension
+    needs a download), hence the side table."""
+    import pandas as pd
+
+    from clinical_trial_searchengine_spark.functions.analysis import (
+        tokenize_text,
     )
+
+    eng = _engine_for(spark, sf_dir, mode="porter")
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids, terms = [], []
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        for t in tokenize_text(txt, "porter"):
+            ids.append(int(did))
+            terms.append(t)
+    pd.DataFrame({"doc_id": ids, "term": terms}).to_parquet(
+        _PORTER_SIDE, index=False
+    )
+    scored = eng.search(_PORTER_QUERY, k=50)
+    return _engine_topk_as_orig_ids(
+        spark, sf_dir, scored, k=10,
+        index_dir=_index_dir_for(sf_dir, "porter"),
+    )
+
+
+def _porter_oracle_sql(k: int = 10) -> str:
+    from clinical_trial_searchengine_spark.functions.analysis import (
+        tokenize_text,
+    )
+
+    qterms = sorted(set(tokenize_text(_PORTER_QUERY, "porter")))
+    values = ", ".join(f"('{t}', 1.0)" for t in qterms)
+    return f"""
+WITH tok AS (SELECT doc_id, term FROM read_parquet('{_PORTER_SIDE}')),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(term, qtf) AS (VALUES {values}),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+           AS raw
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, round(raw, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
 
 
 def _q_engine_incremental_append(spark, sf_dir):
@@ -282,6 +360,59 @@ def _q_engine_incremental_append(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+_UPSERT_MARKER = " zzupsertmarker merge join"
+
+
+def _q_engine_incremental_upsert(spark, sf_dir):
+    """S5 REPLACE semantics (VERDICT r3 task #3): one fifth of the corpus is
+    re-committed with changed text and folded in via ``upsert_documents``
+    (delta generation + tombstoned old versions, reference:
+    backend/db/scrape_clinical_trials.py:332-462).  Pre-compaction the gate
+    asserts queries serve ONLY the new versions (tombstone mask); after
+    ``compact()`` scores must be oracle-exact against DuckDB BM25 over the
+    UPDATED corpus — which is what this gate returns."""
+    import hashlib
+
+    from clinical_trial_searchengine_spark.engine import SearchEngine
+    from clinical_trial_searchengine_spark.sources.tables import (
+        documents_as_corpus,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/ctse_driver_index_ups_{tag}"
+    eng = SearchEngine(spark, idx)
+    orig_id = F.expr("cast(substring(path, 5, 100) as long)")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        corpus = documents_as_corpus(spark, sf_dir)
+        updated = corpus.withColumn(
+            "content",
+            F.when(
+                orig_id % 5 == 0, F.concat("content", F.lit(_UPSERT_MARKER))
+            ).otherwise(F.col("content")),
+        ).withColumn(
+            "commit",
+            F.when(
+                orig_id % 5 == 0, F.concat("commit", F.lit("ff"))
+            ).otherwise(F.col("commit")),
+        ).withColumn("content_sha256", F.sha2("content", 256))
+        kw = dict(shard_size=2048, hot_df_threshold=1000)
+        eng.build(corpus, **kw)
+        out = eng.upsert_documents(updated, max_generations=None, **kw)
+        n_mod = out["new_docs"]
+        assert out["tombstones"] == n_mod, out
+        # pre-compaction: the tombstone mask serves ONLY new versions
+        hits = eng.search_all("zzupsertmarker").count()
+        assert hits == n_mod, (hits, n_mod)
+        from clinical_trial_searchengine_spark.plans import segments as seg
+
+        tomb = set(seg.read_tombstones(idx))
+        top = eng.search("merge join filter", k=50).collect()
+        assert not any(r["doc_id"] in tomb for r in top)
+        eng.compact(updated, **kw)
+    scored = eng.search_all("merge join filter")
+    return _engine_topk_as_orig_ids(spark, sf_dir, scored, k=10, index_dir=idx)
 
 
 def _q_term_df_stats(spark, sf_dir):
@@ -586,11 +717,31 @@ def _q_nested_exists(spark, sf_dir):
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
-    from clinical_trial_searchengine_spark.operators.similarity import cosine_topk
+    """Exact brute-force cosine top-k AND the MATERIALIZED-IVF path at full
+    probe (exact => shared oracle) as variant-tagged union — the IVF index
+    pays list-assignment at build time so queries scan only probed
+    ``_list=`` partitions (partition pruning asserted in EXPLAIN.md)."""
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_search,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return cosine_topk(emb, [float(x) for x in qvec], k=10, round_to=4)
+    qv = [float(x) for x in qvec]
+    bf = cosine_topk(emb, qv, k=10, round_to=4).select("vec_id", "cosine")
+    idx = _index_dir_for(sf_dir, "ivf")
+    if not os.path.exists(os.path.join(idx, "ivf_meta.json")):
+        build_ivf_index(emb, idx, n_centroids=16)
+    ivf = ivf_search(spark, idx, qv, k=10, n_probe=16, round_to=4).select(
+        "vec_id", "cosine"
+    )
+    return bf.select(
+        F.lit("brute").alias("variant"), "vec_id", "cosine"
+    ).unionByName(
+        ivf.select(F.lit("ivf").alias("variant"), "vec_id", "cosine")
+    )
 
 
 def _q_ann_knn_join(spark, sf_dir):
@@ -663,26 +814,6 @@ def _q_embedding_cosine_dups(spark, sf_dir):
     )
 
 
-def _q_ann_cosine_ivf(spark, sf_dir):
-    # MATERIALIZED IVF index (list id = partition column, paid at index
-    # time; query scans only probed partitions) with full probe
-    # (exact => same oracle as brute force); the approximate setting just
-    # lowers n_probe.
-    from clinical_trial_searchengine_spark.operators.similarity import (
-        build_ivf_index,
-        ivf_search,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    idx = _index_dir_for(sf_dir, "ivf")
-    if not os.path.exists(os.path.join(idx, "ivf_meta.json")):
-        build_ivf_index(emb, idx, n_centroids=16)
-    return ivf_search(
-        spark, idx, [float(x) for x in qvec], k=10, n_probe=16, round_to=4
-    ).select("vec_id", "cosine")
-
-
 def _eval_run_qrels(spark, sf_dir):
     """Deterministic run + qrels derived from the orders table (J4/A5):
     3 queries = o_orderkey % 3 buckets ranked by price; qrels = graded
@@ -713,21 +844,23 @@ def _eval_run_qrels(spark, sf_dir):
 
 def _q_eval_ir_metrics(spark, sf_dir):
     # J4+A5 completed: run ⋈ qrels -> ndcg/mrr/map/precision/recall/
-    # hit_rate/bpref per query (reference: backend/evaluation/
-    # evaluation_pipeline.py:122-146, custom_metrics.py:137-197)
-    from clinical_trial_searchengine_spark.operators.eval import ir_metrics
-
-    run, qrels = _eval_run_qrels(spark, sf_dir)
-    return ir_metrics(run, qrels, k=10)
-
-
-def _q_eval_ir_means(spark, sf_dir):
+    # hit_rate/bpref per query PLUS the macro-averaged row (query_id =
+    # '__mean__', the reference's headline numbers) — one gate for both
+    # (reference: backend/evaluation/evaluation_pipeline.py:122-146,
+    # custom_metrics.py:137-197)
     from clinical_trial_searchengine_spark.operators.eval import (
+        METRIC_COLS,
+        ir_metrics,
         ir_metrics_mean,
     )
 
     run, qrels = _eval_run_qrels(spark, sf_dir)
-    return ir_metrics_mean(run, qrels, k=10)
+    per_q = ir_metrics(run, qrels, k=10)
+    mean = ir_metrics_mean(run, qrels, k=10).select(
+        F.lit("__mean__").alias("query_id"),
+        *[F.col(f"mean_{c}").alias(c) for c in METRIC_COLS],
+    )
+    return per_q.unionByName(mean)
 
 
 def _eval_feasible(spark, sf_dir):
@@ -744,26 +877,128 @@ def _eval_feasible(spark, sf_dir):
 
 
 def _q_eval_feasibility_metrics(spark, sf_dir):
-    # The reference's 4 custom feasibility metrics per query:
-    # precision_feasible@10, recall_feasible@20, violation@5, reach@10
+    # The reference's 4 custom feasibility metrics per query PLUS the
+    # means row (query_id = '__mean__', compute_all_feasibility_metrics'
+    # return value) — one gate for both
     # (reference: backend/evaluation/custom_metrics.py:137-197)
     from clinical_trial_searchengine_spark.operators.eval import (
+        FEAS_METRIC_COLS,
         feasibility_metrics,
-    )
-
-    run, qrels = _eval_run_qrels(spark, sf_dir)
-    return feasibility_metrics(run, qrels, _eval_feasible(spark, sf_dir))
-
-
-def _q_eval_feasibility_means(spark, sf_dir):
-    # compute_all_feasibility_metrics return value: means over every query
-    # in the run (reference: backend/evaluation/custom_metrics.py:174-197)
-    from clinical_trial_searchengine_spark.operators.eval import (
         feasibility_metrics_mean,
     )
 
     run, qrels = _eval_run_qrels(spark, sf_dir)
-    return feasibility_metrics_mean(run, qrels, _eval_feasible(spark, sf_dir))
+    feas = _eval_feasible(spark, sf_dir)
+    per_q = feasibility_metrics(run, qrels, feas)
+    mean = feasibility_metrics_mean(run, qrels, feas).select(
+        F.lit("__mean__").alias("query_id"),
+        *[F.col(f"mean_{c}").alias(c) for c in FEAS_METRIC_COLS],
+    )
+    return per_q.unionByName(mean)
+
+
+_E2E_QUERIES = {"q0": "merge join filter", "q1": "index scan", "q2": "hash batch"}
+
+
+def _q_rank_eval_end_to_end(spark, sf_dir):
+    """Full SURVEY §3.1 lifecycle in ONE DAG (VERDICT r3 task #9):
+    segment-engine batch retrieval (search_many, J5) -> criteria parsing +
+    profile feasibility scoring over the candidates (X5-X13/J6) ->
+    per-query feasibility-blended re-rank (the /rank blend shape,
+    reference: backend/api/main.py:575-624) -> run ⋈ qrels -> the 7 IR
+    metrics AND the 4 custom feasibility metrics per query (J4/A5,
+    reference: backend/evaluation/evaluation_pipeline.py:122-150,
+    custom_metrics.py:137-197).  The F8 hard filter is deliberately NOT
+    applied here: violation@5 needs infeasible hits to measure, and the
+    filter is separately gated (feasibility_rank)."""
+    from pyspark.sql import Window
+
+    from clinical_trial_searchengine_spark.functions.synonyms import (
+        synonyms_df,
+    )
+    from clinical_trial_searchengine_spark.operators.eval import (
+        feasibility_metrics,
+        ir_metrics,
+    )
+    from clinical_trial_searchengine_spark.operators.feasibility import (
+        feasibility_score,
+        parse_trials,
+    )
+    from clinical_trial_searchengine_spark.operators.feasibility_gates import (
+        PROFILE,
+        _crit_df,
+    )
+
+    eng = _engine_for(spark, sf_dir)
+    raw = eng.search_many(_E2E_QUERIES, k=90)
+    # remap to original ids + round, then cut to the oracle-ordered top-30
+    # candidate pool per query (over-fetch 3x so rounded-score ties at the
+    # pool boundary cannot flip membership)
+    cand = raw.join(_orig_id_map(spark, sf_dir), "doc_id").select(
+        "query_id",
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+    w0 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    cand = (
+        cand.withColumn("r0", F.row_number().over(w0))
+        .where(F.col("r0") <= 30)
+        .drop("r0")
+    )
+    # J6: profile×trial feasibility over the synthesized criteria text
+    crit = _crit_df(spark, sf_dir)
+    syn = synonyms_df(spark)
+    parsed = parse_trials(crit, "criteria_text", syn, ["doc_id"])
+    fscored = feasibility_score(
+        parsed, PROFILE, text_col="criteria_text"
+    ).select("doc_id", "feasibility_score", "is_feasible")
+    j = cand.join(fscored, "doc_id", "left")
+    # per-query blend: 0.6 * minmax(score) + 0.4 * feasibility/100
+    wq = Window.partitionBy("query_id")
+    lo, hi = F.min("score").over(wq), F.max("score").over(wq)
+    norm = F.when(hi > lo, (F.col("score") - lo) / (hi - lo)).otherwise(
+        F.lit(0.5)
+    )
+    feasn = F.coalesce(F.col("feasibility_score") / 100.0, F.lit(0.0))
+    j = j.withColumn("blended", F.round(0.6 * norm + 0.4 * feasn, 6))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("blended"), F.asc("doc_id")
+    )
+    run = (
+        j.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    # deterministic qrels: 3 queries x even doc_ids, graded by (doc_id+qn)
+    qn = F.substring("query_id", 2, 10).cast("int")
+    qids = spark.createDataFrame(
+        [(q,) for q in sorted(_E2E_QUERIES)], "query_id string"
+    )
+    qrels = (
+        qids.crossJoin(
+            _t(spark, sf_dir, "documents")
+            .select("doc_id")
+            .where(F.col("doc_id") % 2 == 0)
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.when((F.col("doc_id") + qn) % 7 == 0, 2)
+            .when((F.col("doc_id") + qn) % 3 == 0, 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    feas = run.join(fscored.select("doc_id", "is_feasible"), "doc_id", "left").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("is_feasible", F.lit(False)).alias("is_feasible"),
+    )
+    m_ir = ir_metrics(run, qrels, k=10)
+    m_fs = feasibility_metrics(run, qrels, feas)
+    return m_ir.join(m_fs, "query_id").orderBy("query_id")
 
 
 def _q_split_bullets_udtf(spark, sf_dir):
@@ -790,35 +1025,19 @@ def _q_split_bullets_udtf(spark, sf_dir):
     )
 
 
-def _q_hybrid_rank_rrf(spark, sf_dir):
+def _q_hybrid_rank(spark, sf_dir):
     """Composed /rank lifecycle: BM25 leg + dense leg -> RRF
     (keep_only_first) -> min-max normalize -> blend -> top-k
-    (reference: backend/api/main.py:427-829). Every stage is an
-    already-gated operator; this gates the composition."""
-    from clinical_trial_searchengine_spark.operators.hybrid import hybrid_rank
-    from clinical_trial_searchengine_spark.operators.similarity import (
-        cosine_topk,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    sparse = bm25_topk(docs, _Q_TERMS, k=30)
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    dense = cosine_topk(
-        emb, [float(x) for x in qvec], k=60, round_to=4
-    ).select(F.col("vec_id").alias("doc_id"), "cosine")
-    return hybrid_rank(sparse, dense, k=10, rrf_k=60, blend_weight=0.3)
-
-
-def _q_hybrid_rank_ivf(spark, sf_dir):
-    """The /rank composition with its dense leg served from the
-    MATERIALIZED IVF index (reference's persistent-FAISS leg,
-    backend/api/main.py:777-784).  Full probe => exact, so the same SQL
-    oracle as `hybrid_rank_rrf` applies; production lowers n_probe and
-    scans only the probed list partitions."""
+    (reference: backend/api/main.py:427-829).  TWO variants in one gate
+    (driver-window economy): 'rrf' brute-forces the dense leg; 'ivf'
+    serves it from the MATERIALIZED IVF index (reference's
+    persistent-FAISS leg, main.py:777-784) at full probe — exact, so both
+    variants share one oracle; production lowers n_probe and scans only
+    the probed list partitions."""
     from clinical_trial_searchengine_spark.operators.hybrid import hybrid_rank
     from clinical_trial_searchengine_spark.operators.similarity import (
         build_ivf_index,
+        cosine_topk,
         ivf_search,
     )
 
@@ -826,13 +1045,41 @@ def _q_hybrid_rank_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     sparse = bm25_topk(docs, _Q_TERMS, k=30)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = [float(x) for x in qvec]
+    dense_bf = cosine_topk(emb, qv, k=60, round_to=4).select(
+        F.col("vec_id").alias("doc_id"), "cosine"
+    )
     idx = _index_dir_for(sf_dir, "ivf")
     if not os.path.exists(os.path.join(idx, "ivf_meta.json")):
         build_ivf_index(emb, idx, n_centroids=16)
-    dense = ivf_search(
-        spark, idx, [float(x) for x in qvec], k=60, n_probe=16, round_to=4
+    dense_ivf = ivf_search(
+        spark, idx, qv, k=60, n_probe=16, round_to=4
     ).select(F.col("vec_id").alias("doc_id"), "cosine")
-    return hybrid_rank(sparse, dense, k=10, rrf_k=60, blend_weight=0.3)
+    out_rrf = hybrid_rank(sparse, dense_bf, k=10, rrf_k=60, blend_weight=0.3)
+    out_ivf = hybrid_rank(sparse, dense_ivf, k=10, rrf_k=60, blend_weight=0.3)
+    return out_rrf.select(
+        F.lit("rrf").alias("variant"), "doc_id", "final_score"
+    ).unionByName(
+        out_ivf.select(F.lit("ivf").alias("variant"), "doc_id", "final_score")
+    )
+
+
+def _q_hybrid_rank_dense_fallback(spark, sf_dir):
+    """Dense-only fallback (VERDICT r3 task #2): an out-of-vocabulary query
+    empties the BM25 leg; instead of the RRF drop rule annihilating the
+    result set, hybrid_search serves the min-max-normalized dense ranking
+    (reference: backend/api/main.py:764-774,832-933)."""
+    from clinical_trial_searchengine_spark.operators.hybrid import (
+        hybrid_search,
+    )
+
+    eng = _engine_for(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    return hybrid_search(
+        eng, "zqxjvkq frobnicatrixx", emb, [float(x) for x in qvec],
+        k=10, sparse_n=30, dense_n=60, dense_round_to=4,
+    )
 
 
 def _q_sessionize_events(spark, sf_dir):
@@ -876,28 +1123,49 @@ def _q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate registry.  ORDER IS THE DRIVER CONTRACT: the driver's
+    CORRECTNESS window records ~50 gates in registration order, so every
+    ORACLED gate comes first (the five feasibility gates lead — they sat
+    outside the window in r2/r3) and the rows-only gates (no SQL oracle
+    possible) sit dead last, where falling outside the window loses
+    nothing.  Redundant DataFrame-path shapes are merged (variant-tagged
+    unions) to keep the oracled count at 50: bm25_suite =
+    plain+boost+filter, hybrid_rank = rrf+ivf legs, ann_cosine_topk =
+    brute+ivf, eval_* = per-query + __mean__ row."""
     return {
-        "bm25_topk": _q_bm25_topk,
-        "bm25_function_score": _q_bm25_function_score,
-        "bm25_filtered": _q_bm25_filtered,
+        # -- feasibility path first (X5-X13 / F8 / J6) --
+        **_feasibility_gates(),
+        # -- new this round --
+        "hybrid_rank_dense_fallback": _q_hybrid_rank_dense_fallback,
+        "engine_incremental_upsert": _q_engine_incremental_upsert,
+        "rank_eval_end_to_end": _q_rank_eval_end_to_end,
+        "engine_bm25_porter": _q_engine_bm25_porter,
+        # -- engine (segment) path --
         "engine_bm25_topk": _q_engine_bm25_topk,
         "engine_bm25_wand": _q_engine_bm25_wand,
         "engine_bm25_filtered": _q_engine_bm25_filtered,
         "engine_batch_queries": _q_engine_batch_queries,
         "engine_bm25_function_score": _q_engine_bm25_function_score,
         "engine_bm25_multifield": _q_engine_bm25_multifield,
-        "engine_bm25_porter": _q_engine_bm25_porter,
         "engine_incremental_append": _q_engine_incremental_append,
+        # -- DataFrame-path BM25 + ranking ops --
+        "bm25_suite": _q_bm25_suite,
+        "bm25_multifield": _q_bm25_multifield,
+        "match_all_terms": _q_match_all_terms,
         "term_df_stats": _q_term_df_stats,
         "doc_token_stats": _q_doc_token_stats,
+        # -- text/dedup/similarity pipeline ops --
         "sha256_invariant": _q_sha256_invariant,
         "quality_features": _q_quality_features,
         "fingerprint_md5": _q_fingerprint_md5,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
-        "simhash_pairs": _q_simhash_pairs,
         "lang_id_counts": _q_lang_id_counts,
+        "embedding_cosine_dups": _q_embedding_cosine_dups,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_knn_join": _q_ann_knn_join,
+        # -- scan/filter/join/agg surface --
         "substring_collapse": _q_substring_collapse,
         "ilike_scan": _q_ilike_scan,
         "point_lookup": _q_point_lookup,
@@ -905,30 +1173,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "denorm_children": _q_denorm_children,
         "semi_join_topk_fetch": _q_semi_join_topk_fetch,
         "rrf_fusion": _q_rrf_fusion,
-        "hybrid_rank_rrf": _q_hybrid_rank_rrf,
-        "hybrid_rank_ivf": _q_hybrid_rank_ivf,
+        "hybrid_rank": _q_hybrid_rank,
         "sessionize_events": _q_sessionize_events,
         "split_bullets_udtf": _q_split_bullets_udtf,
         "minmax_norm": _q_minmax_norm,
         "window_rank": _q_window_rank,
         "eval_ir_metrics": _q_eval_ir_metrics,
-        "eval_ir_means": _q_eval_ir_means,
         "eval_feasibility_metrics": _q_eval_feasibility_metrics,
-        "eval_feasibility_means": _q_eval_feasibility_means,
         "events_hourly": _q_events_hourly,
         "json_extract_props": _q_json_extract_props,
         "set_ops_lang_tokens": _q_set_ops_lang_tokens,
         "topk_tiebreak": _q_topk_tiebreak,
         "nested_exists": _q_nested_exists,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_knn_join": _q_ann_knn_join,
+        # -- rows-only (no SQL oracle possible) dead last: outside the
+        # driver window these lose nothing (pytest covers their exactness)
+        "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_lsh": _q_ann_cosine_lsh,
-        "ann_cosine_ivf": _q_ann_cosine_ivf,
-        "match_all_terms": _q_match_all_terms,
-        "bm25_multifield": _q_bm25_multifield,
-        "embedding_cosine_dups": _q_embedding_cosine_dups,
         "multimodal_features": _q_multimodal_features,
-        **_feasibility_gates(),
     }
 
 
@@ -973,7 +1234,7 @@ JOIN sizes sb ON sb.id = id_b
 WHERE ni / (sa.n + sb.n - ni) >= 0.8
 """
 
-_EVAL_BASE_SQL = """
+_EVAL_RUN_QRELS_SQL = """
 scored AS (
   SELECT 'q' || (o_orderkey % 3)::VARCHAR AS query_id,
          o_orderkey AS doc_id, o_totalprice AS score
@@ -992,7 +1253,12 @@ qrels AS (
          CASE WHEN o_custkey % 7 = 0 THEN 2
               WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END AS rel
   FROM orders WHERE o_orderkey % 2 = 0
-),
+)"""
+
+# IR metric CTE chain over `run` (query_id, doc_id, rank) and `qrels`
+# (query_id, doc_id, rel) — reused by eval_ir_metrics and the end-to-end
+# rank-eval oracle.
+_IR_METRIC_CTES = """
 totals AS (
   SELECT query_id,
          sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS R,
@@ -1056,6 +1322,43 @@ metrics AS (
 )
 """
 
+_EVAL_BASE_SQL = _EVAL_RUN_QRELS_SQL + "," + _IR_METRIC_CTES
+
+# Feasibility metric CTE chain over `run`, `qrels`, and `feas`
+# (query_id, doc_id, is_feasible) — reused by eval_feasibility_metrics and
+# the end-to-end rank-eval oracle.
+_FEAS_METRIC_CTES = """
+ftotals AS (
+  SELECT query_id, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS R
+  FROM qrels GROUP BY 1
+),
+fj AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END AS rel_bin,
+         CASE WHEN coalesce(f.is_feasible, false) THEN 1 ELSE 0 END AS feasb
+  FROM run r
+  LEFT JOIN qrels q USING (query_id, doc_id)
+  LEFT JOIN feas f USING (query_id, doc_id)
+),
+fperq AS (
+  SELECT query_id,
+         sum(CASE WHEN rank <= 10 AND rel_bin = 1 THEN feasb ELSE 0 END) AS n_pf10,
+         sum(CASE WHEN rel_bin = 1 THEN feasb ELSE 0 END) AS n_rf20,
+         sum(CASE WHEN rank <= 5 THEN 1 - feasb ELSE 0 END) AS n_viol5
+  FROM fj GROUP BY 1
+),
+fmetrics AS (
+  SELECT p.query_id,
+         round(n_pf10 / 10.0, 6) AS precision_feasible_10,
+         round(CASE WHEN coalesce(t.R, 0) > 0
+               THEN n_rf20::DOUBLE / t.R ELSE 0 END, 6) AS recall_feasible_20,
+         round(n_viol5 / 5.0, 6) AS violation_5,
+         round(CASE WHEN coalesce(t.R, 0) > 0
+               THEN n_pf10::DOUBLE / t.R ELSE 0 END, 6) AS reach_10
+  FROM fperq p LEFT JOIN ftotals t USING (query_id)
+)
+"""
+
 _LANGS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
@@ -1093,18 +1396,108 @@ SELECT {case} AS lang_pred, count(*) AS n_docs FROM c GROUP BY 1
 """
 
 
+_E2E_TERMS = {
+    "q0": {"merge": 1.0, "join": 1.0, "filter": 1.0},
+    "q1": {"index": 1.0, "scan": 1.0},
+    "q2": {"batch": 1.0, "hash": 1.0},
+}
+
+
+def _e2e_oracle_sql() -> str:
+    """End-to-end rank-eval oracle: per-query BM25 top-30 (nested, shares
+    the generated feasibility scoring CTEs) -> blend -> rank -> run ⋈ qrels
+    -> IR + feasibility metric chains, all in one DuckDB statement."""
+    from clinical_trial_searchengine_spark.operators.feasibility_gates import (
+        feasibility_calc_cte,
+    )
+
+    rq = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, doc_id, score "
+        f"FROM ({bm25_oracle_sql(terms, k=30)}) t_{qid}"
+        for qid, terms in sorted(_E2E_TERMS.items())
+    )
+    return (
+        feasibility_calc_cte()
+        + f""",
+fcalc AS (
+  SELECT doc_id,
+    (case when hard then 0 when ok then least(score, 100) else 0 end) AS fs,
+    (case when hard then false else ok end) AS isf
+  FROM calc
+),
+rq AS ({rq}),
+bounds AS (SELECT query_id, min(score) AS mn, max(score) AS mx
+           FROM rq GROUP BY 1),
+jn AS (
+  SELECT rq.query_id, rq.doc_id,
+         round(0.6 * (CASE WHEN b.mx > b.mn
+                      THEN (rq.score - b.mn) / (b.mx - b.mn)
+                      ELSE 0.5 END)
+               + 0.4 * (coalesce(fc.fs, 0) / 100.0), 6) AS blended
+  FROM rq
+  JOIN bounds b USING (query_id)
+  LEFT JOIN fcalc fc ON fc.doc_id = rq.doc_id
+),
+run AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY blended DESC, doc_id ASC) AS rank
+  FROM jn QUALIFY rank <= 20
+),
+qrels AS (
+  SELECT q.query_id, d.doc_id,
+         CASE WHEN (d.doc_id + q.qn) % 7 = 0 THEN 2
+              WHEN (d.doc_id + q.qn) % 3 = 0 THEN 1 ELSE 0 END AS rel
+  FROM (VALUES ('q0', 0), ('q1', 1), ('q2', 2)) q(query_id, qn)
+  CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+),
+feas AS (
+  SELECT r.query_id, r.doc_id, coalesce(fc.isf, false) AS is_feasible
+  FROM run r LEFT JOIN fcalc fc USING (doc_id)
+),
+{_IR_METRIC_CTES},
+{_FEAS_METRIC_CTES}
+SELECT m.*, f.precision_feasible_10, f.recall_feasible_20, f.violation_5,
+       f.reach_10
+FROM metrics m JOIN fmetrics f USING (query_id)
+ORDER BY query_id
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
-    sqls["bm25_topk"] = bm25_oracle_sql(_Q_TERMS, k=10)
-    sqls["bm25_function_score"] = bm25_oracle_sql(
-        _Q_TERMS, k=10,
-        boost_case="CASE WHEN d.lang = 'en' THEN 1.15 ELSE 1.0 END",
+    sqls["bm25_suite"] = "\nUNION ALL\n".join(
+        f"SELECT '{variant}' AS variant, doc_id, score FROM ({sql}) t_{variant}"
+        for variant, sql in [
+            ("plain", bm25_oracle_sql(_Q_TERMS, k=10)),
+            (
+                "boost",
+                bm25_oracle_sql(
+                    _Q_TERMS, k=10,
+                    boost_case="CASE WHEN d.lang = 'en' THEN 1.15 ELSE 1.0 END",
+                ),
+            ),
+            ("filter", bm25_oracle_sql(_Q_TERMS, k=10, where="d.lang = 'en'")),
+        ]
     )
-    sqls["bm25_filtered"] = bm25_oracle_sql(_Q_TERMS, k=10, where="d.lang = 'en'")
     sqls["engine_bm25_topk"] = bm25_oracle_sql(_Q_TERMS, k=10)
     # S5 delta-generation append: same full-corpus oracle — the append path
     # must be score-identical to a single build over everything.
     sqls["engine_incremental_append"] = bm25_oracle_sql(_Q_TERMS, k=10)
+    # S5 replace: post-compaction scores must equal BM25 over the UPDATED
+    # corpus (one fifth of docs re-committed with the marker appended);
+    # pre-compaction tombstone-mask semantics are asserted inside the gate.
+    sqls["engine_incremental_upsert"] = bm25_oracle_sql(
+        _Q_TERMS, k=10,
+        table=(
+            "(select doc_id, case when doc_id % 5 = 0 then text || "
+            f"'{_UPSERT_MARKER}' else text end as text, lang from documents)"
+        ),
+    )
+    # Porter analyzer chain: BM25 over the independently-generated stemmed
+    # token stream (side table written by the gate itself)
+    sqls["engine_bm25_porter"] = _porter_oracle_sql(k=10)
     sqls["engine_bm25_wand"] = bm25_oracle_sql(_Q_TERMS, k=10)
     sqls["engine_bm25_filtered"] = bm25_oracle_sql(
         _Q_TERMS, k=10, where="d.lang = 'en'"
@@ -1221,88 +1614,34 @@ SELECT o_orderkey,
              ELSE (o_totalprice - b.mn) / (b.mx - b.mn) END, 6) AS norm_score
 FROM o CROSS JOIN b
 """
-    sqls["eval_ir_metrics"] = (
-        f"WITH {_EVAL_BASE_SQL} SELECT * FROM metrics"
-    )
-    feas_base = """
-scored AS (
-  SELECT 'q' || (o_orderkey % 3)::VARCHAR AS query_id,
-         o_orderkey AS doc_id, o_totalprice AS score
-  FROM orders
-),
-run AS (
-  SELECT query_id, doc_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rank
-  FROM scored
-  QUALIFY rank <= 20
-),
-qrels AS (
-  SELECT 'q' || (o_orderkey % 3)::VARCHAR AS query_id,
-         o_orderkey AS doc_id,
-         CASE WHEN o_custkey % 7 = 0 THEN 2
-              WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END AS rel
-  FROM orders WHERE o_orderkey % 2 = 0
-),
+    # per-query rows + the '__mean__' macro-average row in one result
+    sqls["eval_ir_metrics"] = f"""
+WITH {_EVAL_BASE_SQL}
+SELECT * FROM metrics
+UNION ALL
+SELECT '__mean__' AS query_id,
+       round(avg(precision), 6), round(avg(recall), 6),
+       round(avg(hit_rate), 6), round(avg(mrr), 6), round(avg(ap), 6),
+       round(avg(ndcg), 6), round(avg(bpref), 6)
+FROM metrics
+"""
+    feas_cte = """
 feas AS (
   SELECT 'q' || (o_orderkey % 3)::VARCHAR AS query_id,
          o_orderkey AS doc_id, (o_orderkey % 5 <> 0) AS is_feasible
   FROM orders
-),
-totals AS (
-  SELECT query_id, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS R
-  FROM qrels GROUP BY 1
-),
-fj AS (
-  SELECT r.query_id, r.rank,
-         CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END AS rel_bin,
-         CASE WHEN coalesce(f.is_feasible, false) THEN 1 ELSE 0 END AS feasb
-  FROM run r
-  LEFT JOIN qrels q USING (query_id, doc_id)
-  LEFT JOIN feas f USING (query_id, doc_id)
-),
-fperq AS (
-  SELECT query_id,
-         sum(CASE WHEN rank <= 10 AND rel_bin = 1 THEN feasb ELSE 0 END) AS n_pf10,
-         sum(CASE WHEN rel_bin = 1 THEN feasb ELSE 0 END) AS n_rf20,
-         sum(CASE WHEN rank <= 5 THEN 1 - feasb ELSE 0 END) AS n_viol5
-  FROM fj GROUP BY 1
-),
-fmetrics AS (
-  SELECT p.query_id,
-         round(n_pf10 / 10.0, 6) AS precision_feasible_10,
-         round(CASE WHEN coalesce(t.R, 0) > 0
-               THEN n_rf20::DOUBLE / t.R ELSE 0 END, 6) AS recall_feasible_20,
-         round(n_viol5 / 5.0, 6) AS violation_5,
-         round(CASE WHEN coalesce(t.R, 0) > 0
-               THEN n_pf10::DOUBLE / t.R ELSE 0 END, 6) AS reach_10
-  FROM fperq p LEFT JOIN totals t USING (query_id)
-)
-"""
-    sqls["eval_feasibility_metrics"] = (
-        f"WITH {feas_base} SELECT * FROM fmetrics"
-    )
-    sqls["eval_feasibility_means"] = f"""
-WITH {feas_base}
-SELECT round(avg(precision_feasible_10), 6) AS mean_precision_feasible_10,
-       round(avg(recall_feasible_20), 6) AS mean_recall_feasible_20,
-       round(avg(violation_5), 6) AS mean_violation_5,
-       round(avg(reach_10), 6) AS mean_reach_10,
-       count(*) AS n_queries
+)"""
+    sqls["eval_feasibility_metrics"] = f"""
+WITH {_EVAL_RUN_QRELS_SQL}, {feas_cte}, {_FEAS_METRIC_CTES}
+SELECT * FROM fmetrics
+UNION ALL
+SELECT '__mean__' AS query_id,
+       round(avg(precision_feasible_10), 6),
+       round(avg(recall_feasible_20), 6),
+       round(avg(violation_5), 6), round(avg(reach_10), 6)
 FROM fmetrics
 """
-    sqls["eval_ir_means"] = f"""
-WITH {_EVAL_BASE_SQL}
-SELECT round(avg(precision), 6) AS mean_precision,
-       round(avg(recall), 6) AS mean_recall,
-       round(avg(hit_rate), 6) AS mean_hit_rate,
-       round(avg(mrr), 6) AS mean_mrr,
-       round(avg(ap), 6) AS mean_ap,
-       round(avg(ndcg), 6) AS mean_ndcg,
-       round(avg(bpref), 6) AS mean_bpref,
-       count(*) AS n_queries
-FROM metrics
-"""
+    sqls["rank_eval_end_to_end"] = _e2e_oracle_sql()
     sqls["window_rank"] = """
 SELECT o_custkey, o_orderkey, rank FROM (
   SELECT o_custkey, o_orderkey,
@@ -1340,13 +1679,18 @@ LIMIT 20
         "SELECT DISTINCT o_custkey AS c_custkey FROM orders "
         "WHERE o_totalprice > 300000"
     )
-    sqls["ann_cosine_topk"] = """
+    _ann_base = """
 WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
        round(list_cosine_similarity(embedding::DOUBLE[], q.v), 4) AS cosine
 FROM embeddings CROSS JOIN q
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+    # brute-force and full-probe IVF are both exact -> identical expected rows
+    sqls["ann_cosine_topk"] = (
+        f"SELECT 'brute' AS variant, vec_id, cosine FROM ({_ann_base}) a\n"
+        f"UNION ALL\nSELECT 'ivf' AS variant, vec_id, cosine FROM ({_ann_base}) b"
+    )
     sqls["ann_knn_join"] = """
 WITH q AS (
   SELECT 'q' || vec_id::VARCHAR AS query_id, embedding::DOUBLE[] AS v
@@ -1367,7 +1711,6 @@ SELECT query_id, vec_id, cosine, rank FROM (
         bm25_multifield_oracle_sql,
     )
 
-    sqls["ann_cosine_ivf"] = sqls["ann_cosine_topk"]
     sqls["match_all_terms"] = f"""
 SELECT doc_id FROM documents
 WHERE len(list_intersect(list_distinct({_TOK}),
@@ -1404,7 +1747,7 @@ SELECT doc_id, 'inclusion' AS type,
        entry
 FROM entries
 """
-    sqls["hybrid_rank_rrf"] = f"""
+    _hyb = f"""
 WITH sparse AS (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
@@ -1452,8 +1795,30 @@ SELECT n.doc_id,
 FROM normed n LEFT JOIN dnorm d USING (doc_id)
 ORDER BY final_score DESC, doc_id ASC LIMIT 10
 """
-    # IVF-backed hybrid leg: full probe is exact, identical oracle
-    sqls["hybrid_rank_ivf"] = sqls["hybrid_rank_rrf"]
+    # brute-force and full-probe-IVF dense legs are both exact -> the two
+    # variants expect identical rows
+    sqls["hybrid_rank"] = (
+        f"SELECT 'rrf' AS variant, doc_id, final_score FROM ({_hyb}) a\n"
+        f"UNION ALL\n"
+        f"SELECT 'ivf' AS variant, doc_id, final_score FROM ({_hyb}) b"
+    )
+    # dense-only fallback: OOV query -> min-max-normalized dense ranking
+    # (reference: backend/api/main.py:832-933)
+    sqls["hybrid_rank_dense_fallback"] = """
+WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+dense AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv.v), 4) AS cosine
+  FROM embeddings CROSS JOIN qv
+  ORDER BY cosine DESC, doc_id ASC LIMIT 60
+),
+b AS (SELECT min(cosine) AS mn, max(cosine) AS mx FROM dense)
+SELECT doc_id,
+       round(CASE WHEN b.mx = b.mn THEN 1.0
+             ELSE (cosine - b.mn) / (b.mx - b.mn) END, 6) AS final_score
+FROM dense CROSS JOIN b
+ORDER BY final_score DESC, doc_id ASC LIMIT 10
+"""
     from clinical_trial_searchengine_spark.streaming.sessions import (
         sessionize_oracle_sql,
     )

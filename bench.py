@@ -100,14 +100,25 @@ def main() -> None:
     # q001/q020 on other runs) that disappears from the second pass onward;
     # steady-state is the honest latency for the reference's "<2s per
     # complex query" server-style baseline.
+    # Per-query cells are MIN-MERGED over 3 passes: this host shows
+    # hypervisor-steal wobble of +-10% on single-shot cells (BASELINE.md),
+    # which round-over-round diffs then misread as engine regressions (the
+    # r3 phantom -9%).  min-of-3 is the standard steal-robust estimator for
+    # a deterministic workload; the observed spread is exported as
+    # query_noise_rel_spread so the JSON itself says how noisy the host was.
     eng.warm(postings=True)
     for q in reference_queries():
         eng.search_topk_rows(q["text"], k=q["k"])
     per_q: list[float] = []
+    spreads: list[float] = []
     for q in reference_queries():
-        t0 = time.time()
-        eng.search_topk_rows(q["text"], k=q["k"])
-        dt = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            eng.search_topk_rows(q["text"], k=q["k"])
+            times.append(time.time() - t0)
+        dt = min(times)
+        spreads.append((max(times) - dt) / dt if dt > 0 else 0.0)
         queries[q["query_id"]] = round(dt, 4)
         per_q.append(dt)
 
@@ -116,18 +127,22 @@ def main() -> None:
     # between block-max 'pruned' (candidate pool >> k) and 'exhaustive'
     # (rare-term queries, where skip bookkeeping is pure overhead) — this
     # cell is the standing evidence auto <= min(pruned, exhaustive) on a
-    # mixed batch.  wand is the documented exact alternative (per-posting
-    # pointer loop — expected slowest; kept for its equivalence property,
-    # not speed).  Six-query batches, one warm pass per kernel first.
+    # mixed batch.  wand_ref is the DEMOTED doc-at-a-time Python reference
+    # (test-only oracle, not reachable as a production kernel — the public
+    # 'wand'/use_wand surface resolves to 'pruned'); measured here for the
+    # record.  Six-query batches, one warm pass per kernel first.
     kq = list(reference_queries())[:6]
-    for kern in ("auto", "pruned", "exhaustive", "wand"):
+    for kern in ("auto", "pruned", "exhaustive", "wand_ref"):
         arg = None if kern == "auto" else kern
         for q in kq:
             eng.search_topk_rows(q["text"], k=q["k"], kernel=arg)
-        t0 = time.time()
-        for q in kq:
-            eng.search_topk_rows(q["text"], k=q["k"], kernel=arg)
-        queries[f"kernel_{kern}_6q"] = round(time.time() - t0, 3)
+        cells = []
+        for _ in range(2):
+            t0 = time.time()
+            for q in kq:
+                eng.search_topk_rows(q["text"], k=q["k"], kernel=arg)
+            cells.append(time.time() - t0)
+        queries[f"kernel_{kern}_6q"] = round(min(cells), 3)
 
     # -- 3. headline DataFrame ops on driver tables -------------------------
     # Each op runs once untimed (whole-stage-codegen Janino compile is a
@@ -159,9 +174,12 @@ def main() -> None:
             ("ann_cosine_topk", _op_ann),
         ]:
             op()  # warm: codegen compile + parquet footer cache
-            t0 = time.time()
-            op()
-            queries[name] = round(time.time() - t0, 3)
+            cells = []
+            for _ in range(2):
+                t0 = time.time()
+                op()
+                cells.append(time.time() - t0)
+            queries[name] = round(min(cells), 3)
 
     total = time.time() - t_total
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -176,6 +194,8 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "query_p50_sec": round(statistics.median(per_q), 4),
         "query_p95_sec": round(sorted(per_q)[int(0.95 * (len(per_q) - 1))], 4),
+        "query_cells": "min_of_3",
+        "query_noise_rel_spread": round(statistics.median(spreads), 4),
         "cpus": cpus,
         "build_stage_sec": build_meta.get("stage_seconds", {}),
     }

@@ -286,15 +286,18 @@ def rank_with_feasibility(
     scored: DataFrame,
     retrieval_col: str = "score",
     feasibility_weight: float = 0.4,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Blend min-max-normalized retrieval with feasibility/100 and apply the
     hard filter (reference: backend/api/main.py:575-624).
 
     blended = (1-w) * minmax(retrieval) + w * feasibility/100, sorted desc;
     rows with is_feasible == false are dropped after scoring.
-    """
-    lo = F.min(retrieval_col).over(Window.partitionBy())
-    hi = F.max(retrieval_col).over(Window.partitionBy())
+    ``by``: optional partition keys (e.g. ["query_id"]) — normalization is
+    then per group, the batch-evaluation shape."""
+    part = Window.partitionBy(*by) if by else Window.partitionBy()
+    lo = F.min(retrieval_col).over(part)
+    hi = F.max(retrieval_col).over(part)
     norm = F.when(hi > lo, (F.col(retrieval_col) - lo) / (hi - lo)).otherwise(
         F.lit(0.5)
     )

@@ -269,6 +269,23 @@ from x order by x.doc_id"""
 def feasibility_oracle() -> str:
     """Full J6 scoring + F8 filter in DuckDB, mirroring
     operators/feasibility.py step-for-step with PROFILE inlined."""
+    return (
+        feasibility_calc_cte()
+        + """
+select doc_id,
+  case when hard then 0 when ok then least(score, 100) else 0 end
+    as feasibility_score,
+  (case when hard then false else ok end) as is_feasible
+from calc
+where (case when hard then false else ok end)
+order by doc_id"""
+    )
+
+
+def feasibility_calc_cte() -> str:
+    """The scoring CTE chain up to ``calc`` (doc_id, hard, score, ok) —
+    shared between the feasibility_rank oracle and the end-to-end
+    rank-eval oracle (which needs UNFILTERED per-doc scores)."""
     p = PROFILE
     p_conds = [c.lower() for c in p["conditions"]]
     cond_terms = " or ".join(
@@ -360,14 +377,7 @@ ent as (
          and {p["prior_lines"]} <= max_lines)
       as ok
   from scored
-)
-select doc_id,
-  case when hard then 0 when ok then least(score, 100) else 0 end
-    as feasibility_score,
-  (case when hard then false else ok end) as is_feasible
-from calc
-where (case when hard then false else ok end)
-order by doc_id"""
+)"""
     )
 
 

@@ -117,6 +117,7 @@ def hybrid_search(
     id_col: str = "vec_id",
     ivf_index_dir: str | None = None,
     n_probe: int = 4,
+    dense_round_to: int | None = None,
 ) -> DataFrame:
     """End-to-end hybrid query: segment-engine BM25 leg (optionally
     filtered — the filter context wins through the RRF drop rule) + dense
@@ -148,16 +149,18 @@ def hybrid_search(
     # Materialize the (<= sparse_n row) candidate pool once: the emptiness
     # probe below and the fused ranking reuse it without re-running BM25.
     sparse = sparse.localCheckpoint(eager=True)
+    rkw = {} if dense_round_to is None else {"round_to": dense_round_to}
     if ivf_index_dir is not None:
         dense = ivf_search(
-            engine.spark, ivf_index_dir, query_vec, k=dense_n, n_probe=n_probe
+            engine.spark, ivf_index_dir, query_vec, k=dense_n,
+            n_probe=n_probe, **rkw,
         )
         dense_id = dense.columns[0]
         dense = dense.select(F.col(dense_id).alias("doc_id"), "cosine")
     else:
-        dense = cosine_topk(emb, query_vec, k=dense_n, id_col=id_col).select(
-            F.col(id_col).alias("doc_id"), "cosine"
-        )
+        dense = cosine_topk(
+            emb, query_vec, k=dense_n, id_col=id_col, **rkw
+        ).select(F.col(id_col).alias("doc_id"), "cosine")
     if not sparse.head(1):
         # BM25 leg empty (e.g. out-of-vocabulary query): the RRF drop rule
         # would annihilate the result set, so serve the dense-only ranking

@@ -8,8 +8,9 @@ Lifecycle (SURVEY.md §3.1 steps 4-9, Spark-first):
      files are sorted by term so row-group min/max skips almost everything)
   -> cogroup(postings, norms) by shard -> per-shard scoring kernel:
      decode -> BM25 (k1=1.2, b=0.75) -> bounded top-k heap per shard
-     (exhaustive-vectorized kernel by default; block-max WAND kernel
-     available via use_wand=True — equivalence property-tested)
+     (df-adaptive default: vectorized block-max 'pruned' vs 'exhaustive';
+     the doc-at-a-time Python WAND is a demoted test-only oracle
+     'wand_ref' — equivalence property-tested)
   -> global top-k merge: orderBy(score desc, doc_id asc).limit(k)
      (Catalyst TakeOrderedAndProject = per-partition heap + driver merge).
 
@@ -95,6 +96,55 @@ def _tomb_local(tombs: np.ndarray, gbase: int, nd: int) -> np.ndarray:
     return (tombs[lo:hi] - gbase).astype(np.int64)
 
 
+# ---------------------------------------------------------------------------
+# Cross-query contribution cache (per Python-worker process).
+#
+# A query service hits the same hot terms over and over; decoding a hot
+# posting list (df ~ num_docs) plus recomputing its length normalization is
+# the dominant per-query kernel cost at corpus scale — and it is IDENTICAL
+# across queries: (doc offsets, tf/(tf+K_d)) depend only on the posting
+# bytes, the shard's doc lengths, and (avgdl, k1, b).  The per-query parts
+# (qtf, idf) are scalar multipliers applied afterwards.  Lucene solves this
+# with its LRU query cache; here the cache lives in each executor's
+# long-lived Python worker.  Keys hash the posting BYTES and the shard's
+# doc-length bytes, so a rebuilt index can never serve stale entries
+# (rank-identity tests pass with the cache hot or cold).  Bounded: when the
+# cap is reached the cache is cleared wholesale (simple, GC-friendly).
+# ---------------------------------------------------------------------------
+
+_CONTRIB_CACHE: dict = {}
+_CONTRIB_CACHE_BYTES = 0
+_CONTRIB_CACHE_CAP = 256 * 1024 * 1024
+
+
+def _dl_token(dl: np.ndarray) -> bytes:
+    import hashlib
+
+    return hashlib.md5(dl.tobytes()).digest()
+
+
+def _contrib_cached(buf: bytes, base: int, dl, avgdl, k1, b, dl_tok):
+    """(local offsets, tf/(tf+Kd)) for one posting list — decoded once per
+    worker process, reused across queries."""
+    global _CONTRIB_CACHE_BYTES
+    import hashlib
+
+    key = (hashlib.md5(buf).digest(), dl_tok, base, avgdl, k1, b)
+    ent = _CONTRIB_CACHE.get(key)
+    if ent is None:
+        ids, tfs = decode_postings(buf)
+        off = (ids - np.uint64(base)).astype(np.int64)
+        Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
+        norm = tfs.astype(np.float64) / (tfs + Kd)
+        sz = off.nbytes + norm.nbytes
+        if _CONTRIB_CACHE_BYTES + sz > _CONTRIB_CACHE_CAP:
+            _CONTRIB_CACHE.clear()
+            _CONTRIB_CACHE_BYTES = 0
+        _CONTRIB_CACHE[key] = ent = (off, norm)
+        _CONTRIB_CACHE_BYTES += sz
+    return ent
+
+
 def _postings_by_term(p_pdf: pd.DataFrame, need_df: bool) -> dict:
     """{term: (postings_bytes, df_or_None)} via .values arrays —
     pd.itertuples has a ~1.4 ms fixed cost per call (profiled), paid once
@@ -130,6 +180,7 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size  # gen-LOCAL shard base (norms/postings ids)
         dl = _norms_dl(n_pdf)
+        dl_tok = _dl_token(dl)
         acc = np.zeros(dl.size, dtype=np.float64)
         by_term = _postings_by_term(p_pdf, need_df=dfs is None)
         for term in terms_sorted:  # fixed summation order == oracle
@@ -137,12 +188,10 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             if row is None:
                 continue
             df = dfs[term] if dfs is not None else row[1]
-            ids, tfs = decode_postings(bytes(row[0]))
-            off = (ids - np.uint64(base)).astype(np.int64)
-            Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
-            acc[off] += (qtf[term] * _idf(N, df)) * (
-                tfs.astype(np.float64) / (tfs + Kd)
+            off, norm = _contrib_cached(
+                bytes(row[0]), base, dl, avgdl, k1, b, dl_tok
             )
+            acc[off] += (qtf[term] * _idf(N, df)) * norm
         if tombs is not None and tombs.size:
             acc[_tomb_local(tombs, base + bases[gen], dl.size)] = 0.0
         return _topk_from_scores(acc, base + bases[gen], k)
@@ -239,6 +288,8 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
         if not dirs:
             return _empty_result()
 
+        dl_tok = _dl_token(dl)
+
         def contrib_of(term, ids_t, tfs_t):
             off = (ids_t - np.uint64(base)).astype(np.int64)
             if dead is not None:
@@ -249,11 +300,22 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
                 tfs_t.astype(np.float64) / (tfs_t + Kd)
             )
 
+        def full_contrib(term):
+            """Full-decode contribution via the cross-query cache (hot
+            terms decode once per worker; per-query w is a scalar)."""
+            off, norm = _contrib_cached(
+                dirs[term][1], base, dl, avgdl, k1, b, dl_tok
+            )
+            if dead is not None:
+                keep = ~dead[off]
+                off, norm = off[keep], norm[keep]
+            return off, dirs[term][0] * norm
+
         order = sorted(dirs, key=lambda t: (-dirs[t][0], t))
         contribs = {}
 
         t0 = order[0]
-        off0, c0 = contrib_of(t0, *decode_postings(dirs[t0][1]))
+        off0, c0 = full_contrib(t0)
         contribs[t0] = (off0, c0)
         if len(order) == 1:
             acc = np.zeros(nd, dtype=np.float64)
@@ -285,11 +347,12 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             )
             if keep.size > 0.5 * len(firsts):
                 # little to skip: one full-pass decode beats the
-                # per-block selective loop (adaptive, measured)
-                ids_t, tfs_t = decode_postings(buf)
+                # per-block selective loop (adaptive, measured) — and the
+                # full decode is served by the cross-query cache
+                off_t, c_t = full_contrib(t)
             else:
                 ids_t, tfs_t = decode_blocks(buf, keep, n, firsts, nb, offs)
-            off_t, c_t = contrib_of(t, ids_t, tfs_t)
+                off_t, c_t = contrib_of(t, ids_t, tfs_t)
             contribs[t] = (off_t, c_t)
             if i + 1 < len(order):  # last term: no further theta needed
                 working[off_t] += c_t
@@ -636,9 +699,17 @@ class IndexHandle:
 
 _KERNELS = {
     "exhaustive": _make_exhaustive_kernel,
-    "wand": _make_wand_kernel,
+    "wand_ref": _make_wand_kernel,
     "pruned": _make_pruned_kernel,
 }
+
+# DEMOTED (VERDICT r3 task #6): the doc-at-a-time Python WAND kernel is a
+# TEST-ONLY ORACLE of the vectorized block-max kernels ('wand_ref' —
+# per-posting Python pointer chasing, measured 3.5x slower than exhaustive
+# at sf1.0, never a production win).  The public 'wand'/use_wand surface now
+# resolves to 'pruned', the vectorized term-at-a-time block-max pruning
+# kernel — same block-skip idea, same exactness guarantees, no Python loop.
+_KERNEL_ALIASES = {"wand": "pruned"}
 
 
 def _scored_df(
@@ -655,7 +726,8 @@ def _scored_df(
         # per-block upper-bound pass is pure overhead
         n_cand = sum(dfs.get(t, 0) for t in qtf)
         kernel_name = "pruned" if n_cand > 16 * k else "exhaustive"
-    make = _KERNELS[kernel_name or ("wand" if use_wand else "exhaustive")]
+    kernel_name = kernel_name or ("wand" if use_wand else "exhaustive")
+    make = _KERNELS[_KERNEL_ALIASES.get(kernel_name, kernel_name)]
     kernel = make(
         dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
         meta["k1"], meta["b"], meta["shard_size"], k,
@@ -697,9 +769,12 @@ def search(
     ``kernel``: None (default) picks adaptively by global df — 'pruned'
     (vectorized block-max skip) once the candidate pool dwarfs k, else
     'exhaustive' (decode-everything; rare-term queries never fill the heap
-    threshold, so skip bookkeeping is pure overhead there); 'wand' is the
-    doc-at-a-time block-max alternative.  All three are rank-identical
-    (equivalence-tested), so the choice is cost-only.
+    threshold, so skip bookkeeping is pure overhead there).  'wand' (and
+    ``use_wand=True``) is an alias of 'pruned': the doc-at-a-time Python
+    WAND is demoted to the test-only oracle 'wand_ref' (per-posting Python
+    — correct but never a production win; kept for its equivalence
+    property).  All kernels are rank-identical (equivalence-tested), so
+    the choice is cost-only.
     Filter/boost paths always score exhaustively (they need every match).
 
     ``boost``: optional (doc_id, _boost) DataFrame — multiplicative
@@ -796,16 +871,18 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
             else None
         )
         # decode + per-term normalized contribution, shared across queries
+        # (and across batch invocations via the worker contribution cache)
+        dl_tok = _dl_token(dl)
         contrib: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
         for term in all_terms:
             row = by_term.get(term)
             if row is None:
                 continue
-            ids, tfs = decode_postings(bytes(row[0]))
-            off = (ids - np.uint64(base)).astype(np.int64)
-            Kd = k1 * (1.0 - b + b * dl[off] / avgdl)
+            off, norm = _contrib_cached(
+                bytes(row[0]), base, dl, avgdl, k1, b, dl_tok
+            )
             contrib[term] = (
-                off, tfs.astype(np.float64) / (tfs + Kd),
+                off, norm,
                 _idf(N, dfs[term] if dfs is not None else row[1]),
             )
         frames = []

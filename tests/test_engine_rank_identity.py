@@ -39,11 +39,15 @@ def test_rank_identity_standard(built_index, oracle_standard):
 
 
 def test_rank_identity_wand(built_index, oracle_standard):
-    """Block-max WAND kernel == exhaustive == oracle (B6 equivalence)."""
+    """B6 equivalence, both halves: the demoted doc-at-a-time Python WAND
+    ('wand_ref', test-only oracle) AND the public use_wand surface (now an
+    alias of the vectorized pruned kernel) == oracle."""
     for q in reference_queries():
         exp = oracle_standard.search(q["text"], q["k"])
-        got = built_index.search_topk_rows(q["text"], q["k"], use_wand=True)
+        got = built_index.search_topk_rows(q["text"], q["k"], kernel="wand_ref")
         _assert_rank_identical(exp, got, q["query_id"])
+        got2 = built_index.search_topk_rows(q["text"], q["k"], use_wand=True)
+        _assert_rank_identical(exp, got2, q["query_id"] + "/alias")
 
 
 def test_rank_identity_pruned(built_index, oracle_standard):

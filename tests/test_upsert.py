@@ -86,7 +86,7 @@ def test_upsert_tombstones_old_versions(spark, upserted):
         assert not any(
             r["doc_id"] in tomb for r in eng.search_all(q).collect()
         )
-        for kernel in ["exhaustive", "pruned", "wand"]:
+        for kernel in ["exhaustive", "pruned", "wand_ref"]:
             got = eng.search(q, 10, kernel=kernel).collect()
             assert not any(r["doc_id"] in tomb for r in got)
         batch = eng.search_many({"q": q}, k=10).collect()
@@ -101,7 +101,7 @@ def test_upsert_kernels_rank_identical(spark, upserted):
             (r["doc_id"], r["score"])
             for r in eng.search(q, 10, kernel="exhaustive").collect()
         ]
-        for kernel in ["pruned", "wand"]:
+        for kernel in ["pruned", "wand_ref"]:
             got = [
                 (r["doc_id"], r["score"])
                 for r in eng.search(q, 10, kernel=kernel).collect()
