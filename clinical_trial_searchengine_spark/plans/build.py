@@ -75,23 +75,24 @@ _MID_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid << 33 | row
 # ---------------------------------------------------------------------------
 
 
-def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Dense doc_id = global rank under (repo, path, commit).
+# Above this many docs the key->doc_id mapping stops being broadcastable
+# (~80 B/key -> ~320 MB at the cap) and assignment falls back to the full
+# range shuffle; at that corpus size the build's encode shuffle dominates
+# and a second content shuffle is the lesser cost vs a multi-GB broadcast.
+_BROADCAST_MAP_CAP = 4_000_000
 
-    repartitionByRange + sortWithinPartitions + monotonically_increasing_id
-    (pid << 33 | local row index), then add per-partition offsets (a tiny
-    collected table).  One shuffle total; no global Window (SURVEY.md §7
-    step 3).  The returned DataFrame is persisted (MEMORY_AND_DISK) because
-    the offset collection and every downstream consumer must see the same
-    materialized partitioning.
-    """
-    spark = corpus.sparkSession
-    num_partitions = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+_KEYS = ("repo", "path", "commit")
+
+
+def _ranked_keys(df: DataFrame, num_partitions: int):
+    """Range-shuffle + in-partition sort + per-partition offsets -> global
+    rank, persisted so the offset collection and every downstream consumer
+    see the SAME materialized partitioning (range-partitioner sampling is
+    not re-run).  Returns (persisted ranged df with _pid/_local, offsets,
+    total rows)."""
     ranged = (
-        corpus.repartitionByRange(num_partitions, "repo", "path", "commit")
-        .sortWithinPartitions("repo", "path", "commit")
+        df.repartitionByRange(num_partitions, *_KEYS)
+        .sortWithinPartitions(*_KEYS)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", (F.col("_mid") / (_MID_MASK + 1)).cast("int"))
         .withColumn("_local", F.col("_mid").bitwiseAND(F.lit(_MID_MASK)))
@@ -106,17 +107,55 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    return ranged, offsets, acc
+
+
+def _with_offsets(ranged: DataFrame, offsets: dict) -> DataFrame:
     off_df = F.broadcast(
-        spark.createDataFrame(
+        ranged.sparkSession.createDataFrame(
             [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
         )
     )
-    out = (
+    return (
         ranged.join(off_df, "_pid")
         .withColumn("doc_id", F.col("_off") + F.col("_local"))
         .drop("_pid", "_local", "_off")
     )
-    out._ctse_persisted = ranged  # unpersist handle for the caller
+
+
+def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Dense doc_id = global rank under (repo, path, commit).
+
+    The rank is computed over the KEY COLUMNS ONLY (one range shuffle +
+    in-partition sort of ~100-byte rows + a tiny collected offset table —
+    no global Window, SURVEY.md §7 step 3), then broadcast-hash-joined back
+    to the corpus: the content bytes never move for doc_id assignment, and
+    the poorly-scaling serial fraction of the old full-row range shuffle
+    (sort + persist of every content byte before a single token is cut)
+    disappears from the critical path.  Above ``_BROADCAST_MAP_CAP`` docs
+    the mapping stops being broadcastable and assignment falls back to the
+    full-row range shuffle (v1 path) — at that scale the encode shuffle
+    dominates the build and Catalyst would pick a sort-merge join anyway.
+
+    doc_id is the same deterministic rank on both paths (resume/rerun
+    reassigns identical ids; property: tests/test_build_invariants.py).
+    """
+    spark = corpus.sparkSession
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged_keys, offsets, total = _ranked_keys(
+        corpus.select(*_KEYS), num_partitions
+    )
+    if total > _BROADCAST_MAP_CAP:
+        ranged_keys.unpersist()
+        ranged, offsets, _ = _ranked_keys(corpus, num_partitions)
+        out = _with_offsets(ranged, offsets)
+        out._ctse_persisted = ranged
+        return out
+    mapping = _with_offsets(ranged_keys, offsets).select(*_KEYS, "doc_id")
+    out = corpus.join(F.broadcast(mapping), list(_KEYS))
+    out._ctse_persisted = ranged_keys
     return out
 
 
