@@ -235,3 +235,49 @@ def test_gate_matches_duckdb_oracle(spark, tmp_path):
     assert len(sdf) == len(odf) > 0
     assert list(sdf["doc_id"]) == list(odf["doc_id"])
     assert list(sdf["feasibility_score"]) == list(odf["feasibility_score"])
+
+
+def test_profile_query_text_and_synonym_expansion():
+    """X14 compose + U3 query-side synonym expansion (reference:
+    backend/api/main.py:322-383) — worked example, expansion OFF by
+    default like the reference's shipped configuration."""
+    from clinical_trial_searchengine_spark.functions.profile_query import (
+        expand_condition_synonyms,
+        profile_query_text,
+        profile_query_text_expanded,
+    )
+
+    profile = {
+        "age": 60,
+        "gender": "female",
+        "ecog": 1,
+        "conditions": ["Lung_Cancer"],
+        "biomarkers": ["EGFR"],
+        "history": ["HIV"],
+        "prior_lines": 2,
+        "days_since_last_treatment": 21,
+    }
+    text = profile_query_text(profile)
+    assert text == (
+        "Patient with Lung_Cancer. 60 year old. female. ECOG 1. "
+        "Biomarkers: EGFR. History of HIV. "
+        "2 prior lines of systemic therapy. 21 days since last treatment"
+    )
+    # default: no expansion (reference disables it — query drift)
+    assert profile_query_text_expanded(profile) == text
+
+    # expansion rule: first 3 synonyms per key, dedup, cap 8
+    got = expand_condition_synonyms(["Lung_Cancer", "Leukemia"])
+    assert got == [
+        "lung cancer", "nsclc", "non-small cell lung cancer",
+        "leukemia", "aml", "cll",
+    ]
+    capped = expand_condition_synonyms(
+        ["Lung_Cancer", "Leukemia", "Breast_Cancer"], max_terms=4
+    )
+    assert len(capped) == 4
+    expanded = profile_query_text_expanded(profile, expand=True)
+    assert expanded.endswith("lung cancer, nsclc, non-small cell lung cancer")
+
+    # empty profile fields are skipped without separators
+    assert profile_query_text({"age": 70}) == "70 year old"
