@@ -123,7 +123,22 @@ def _with_offsets(ranged: DataFrame, offsets: dict) -> DataFrame:
     )
 
 
-def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+class _CacheHandle:
+    """Unpersist handle covering every relation a caller must release."""
+
+    def __init__(self, dfs):
+        self._dfs = dfs
+
+    def unpersist(self):
+        for d in self._dfs:
+            d.unpersist()
+
+
+def assign_doc_ids(
+    corpus: DataFrame,
+    num_partitions: int | None = None,
+    persist_output: bool = False,
+) -> DataFrame:
     """Dense doc_id = global rank under (repo, path, commit).
 
     The rank is computed over the KEY COLUMNS ONLY (one range shuffle +
@@ -139,6 +154,13 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
 
     doc_id is the same deterministic rank on both paths (resume/rerun
     reassigns identical ids; property: tests/test_build_invariants.py).
+
+    ``persist_output``: materialize the joined (corpus + doc_id) relation
+    once (MEMORY_AND_DISK) so the multiple downstream content passes
+    (tokenize, doc_meta/sha) read the cache instead of re-paying the source
+    scan + broadcast probe per action — the small/medium-scale fast path
+    (build_index passes its persist_input flag through).  At 100 TB leave
+    it False: re-scanning Iceberg twice beats persisting the corpus.
     """
     spark = corpus.sparkSession
     num_partitions = num_partitions or int(
@@ -155,7 +177,11 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
         return out
     mapping = _with_offsets(ranged_keys, offsets).select(*_KEYS, "doc_id")
     out = corpus.join(F.broadcast(mapping), list(_KEYS))
-    out._ctse_persisted = ranged_keys
+    if persist_output:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out._ctse_persisted = _CacheHandle([out, ranged_keys])
+    else:
+        out._ctse_persisted = ranged_keys
     return out
 
 
@@ -587,7 +613,7 @@ def build_index(
         # ONE range shuffle of the corpus across all field sub-indexes)
         docs = corpus
     else:
-        docs = assign_doc_ids(corpus)  # persisted inside
+        docs = assign_doc_ids(corpus, persist_output=persist_input)
     t_cur = _tick("assign_doc_ids", t_cur)
 
     # -- ONE tokenize pass: pairs + doc_len sentinels, persisted ------------

@@ -135,7 +135,7 @@ def build_multifield_index(
 
     from clinical_trial_searchengine_spark.plans.build import assign_doc_ids
 
-    assigned = assign_doc_ids(corpus)
+    assigned = assign_doc_ids(corpus, persist_output=True)
     # ONE fused tokenize scan of the corpus emitting every field's pairs +
     # doc_len sentinels, persisted once and shared by all sub-builds (each
     # sub-build's own tokenize stage is skipped via pre_tokenized) — a
