@@ -158,7 +158,7 @@ def _postings_by_term(p_pdf: pd.DataFrame, need_df: bool) -> dict:
 
 
 def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
-                            bases=None, dfs=None, tombs=None):
+                            bases=None, dfs=None, tombs=None, allow=None):
     """Vectorized per-(gen, shard) kernel: decode-all, accumulate, bounded
     top-k.
 
@@ -194,13 +194,17 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             acc[off] += (qtf[term] * _idf(N, df)) * norm
         if tombs is not None and tombs.size:
             acc[_tomb_local(tombs, base + bases[gen], dl.size)] = 0.0
+        if allow is not None:
+            keep = np.zeros(dl.size, dtype=bool)
+            keep[_tomb_local(allow, base + bases[gen], dl.size)] = True
+            acc[~keep] = 0.0
         return _topk_from_scores(acc, base + bases[gen], k)
 
     return kernel
 
 
 def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
-                        bases=None, dfs=None, tombs=None):
+                        bases=None, dfs=None, tombs=None, allow=None):
     """Vectorized ITERATIVE block-max pruned kernel: WAND-grade block
     skipping with no per-posting Python (the scale answer to 'exhaustive
     decodes every posting of every hot term'; complements §2.8-B6's
@@ -254,14 +258,22 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
         dl = _norms_dl(n_pdf)
         nd = dl.size
         by_term = _postings_by_term(p_pdf, need_df=dfs is None)
-        # tombstone mask applied at contribution time so the working array
-        # (and thus theta) never counts dead docs — an inflated theta could
-        # otherwise prune a live doc that belongs in the live top-k
+        # tombstone/filter mask applied at contribution time so the working
+        # array (and thus theta) never counts dead docs — an inflated theta
+        # could otherwise prune a live doc that belongs in the live top-k.
+        # ``allow`` (pushed filter context, B4) is the same mask inverted:
+        # docs OUTSIDE the allowed set are dead.
         dead = None
+        if allow is not None:
+            dead = np.ones(nd, dtype=bool)
+            al = _tomb_local(allow, base + bases[gen], nd)
+            if al.size:
+                dead[al] = False
         if tombs is not None and tombs.size:
             tl = _tomb_local(tombs, base + bases[gen], nd)
             if tl.size:
-                dead = np.zeros(nd, dtype=bool)
+                if dead is None:
+                    dead = np.zeros(nd, dtype=bool)
                 dead[tl] = True
 
         # directories + weights + per-term block upper-bound step profiles
@@ -370,7 +382,7 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
 
 
 def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k,
-                      bases=None, dfs=None, tombs=None):
+                      bases=None, dfs=None, tombs=None, allow=None):
     """Block-max WAND per-shard kernel (north rule; SURVEY.md §2.8-B6).
 
     Term upper bound uses dl->0, which is STRICTLY above any achievable
@@ -460,6 +472,12 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k,
                 (base + _tomb_local(tombs, base + bases[gen], dl.size))
                 .tolist()
             )
+        allowed: set[int] | None = None
+        if allow is not None:
+            allowed = set(
+                (base + _tomb_local(allow, base + bases[gen], dl.size))
+                .tolist()
+            )
 
         states = []
         by_term = _postings_by_term(p_pdf, need_df=dfs is None)
@@ -507,7 +525,9 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             pivot_doc = live[pivot_i].cur_doc()
             if live[0].cur_doc() == pivot_doc:
                 s = score_doc(pivot_doc)
-                if pivot_doc in dead:
+                if pivot_doc in dead or (
+                    allowed is not None and pivot_doc not in allowed
+                ):
                     continue  # advance happened in score_doc; never push
                 entry = (s, -pivot_doc)
                 if len(heap) < k:
@@ -711,10 +731,18 @@ _KERNELS = {
 # kernel — same block-skip idea, same exactness guarantees, no Python loop.
 _KERNEL_ALIASES = {"wand": "pruned"}
 
+# Filter-context pushdown (B4): survivor sets up to this many doc_ids ship
+# inside the kernel closure as a sorted int64 allow-mask (~2 MB at the cap —
+# Spark broadcasts large task binaries once per executor).  Beyond the cap
+# the score-everything + semi-join path is the better plan anyway: a filter
+# keeping >256k docs is not selective.
+_FILTER_PUSH_CAP = 1 << 18
+
 
 def _scored_df(
     handle: IndexHandle, qtf: dict, k: int, use_wand: bool,
     kernel_name: str | None = None,
+    allow: np.ndarray | None = None,
 ) -> DataFrame:
     meta = handle.meta
     dfs = handle.global_dfs(qtf)
@@ -728,11 +756,14 @@ def _scored_df(
         kernel_name = "pruned" if n_cand > 16 * k else "exhaustive"
     kernel_name = kernel_name or ("wand" if use_wand else "exhaustive")
     make = _KERNELS[_KERNEL_ALIASES.get(kernel_name, kernel_name)]
+    if allow is not None and allow.size == 0:
+        return handle.spark.createDataFrame([], _RESULT_SCHEMA)
     kernel = make(
         dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
         meta["k1"], meta["b"], meta["shard_size"], k,
         bases=handle.bases, dfs=dfs,
         tombs=handle.tombstones if handle.tombstones.size else None,
+        allow=allow,
     )
     postings = handle.postings.where(F.col("term").isin(list(qtf)))
     if handle.warmed:
@@ -775,7 +806,9 @@ def search(
     — correct but never a production win; kept for its equivalence
     property).  All kernels are rank-identical (equivalence-tested), so
     the choice is cost-only.
-    Filter/boost paths always score exhaustively (they need every match).
+    Filter paths push survivor sets <= _FILTER_PUSH_CAP into the kernel as
+    an allow-mask (top-k of the filtered set directly, exact); larger sets
+    and boost paths score exhaustively (they need every match).
 
     ``boost``: optional (doc_id, _boost) DataFrame — multiplicative
     function-score applied AFTER BM25, exact: all matches are scored and
@@ -789,7 +822,28 @@ def search(
     qtf = analyze_query(query_text, handle.meta["mode"])
     if not qtf:
         return spark.createDataFrame([], _RESULT_SCHEMA)
-    if filter_doc_ids is not None or boost is not None:
+    scored = None
+    if filter_doc_ids is not None and boost is None:
+        # Selective-filter pushdown: if the filter survivor set is small
+        # enough to ship in the task closure (<= _FILTER_PUSH_CAP ids), push
+        # it INTO the kernel as an allow-mask (the tombstone mechanism
+        # inverted) — the per-shard heap then holds the top-k of the
+        # FILTERED set directly (exact: membership never affects scores),
+        # instead of scoring every match with k = shard_size and
+        # semi-joining afterwards.  At 100 TB a selective filter (lang,
+        # repo, date range) turns a score-everything pass into a top-k
+        # pass.  Larger survivor sets fall back to the exhaustive
+        # score-then-semi-join path below.
+        ids = [
+            r[0] for r in filter_doc_ids.select("doc_id")
+            .limit(_FILTER_PUSH_CAP + 1).collect()
+        ]
+        if len(ids) <= _FILTER_PUSH_CAP:
+            allow = np.unique(np.asarray(ids, dtype=np.int64))
+            scored = _scored_df(handle, qtf, k, use_wand=False, allow=allow)
+    if scored is not None:
+        pass
+    elif filter_doc_ids is not None or boost is not None:
         # exactness requires scoring all matches (per-shard heaps can't know
         # the filter survivors / post-multiplier order).
         scored = _scored_df(

@@ -115,6 +115,61 @@ def test_filter_context(built_index, spark):
         assert abs(full[r["doc_id"]] - r["score"]) <= TOL
 
 
+def test_filter_pushdown_matches_fallback(built_index, spark, monkeypatch):
+    """The kernel allow-mask pushdown (selective filters) is rank- and
+    score-identical to the score-everything + semi-join fallback, on both
+    adaptive kernels; an empty filter yields an empty result."""
+    from pyspark.sql import functions as F
+    from clinical_trial_searchengine_spark.plans import query as q
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    dm = spark.read.parquet(seg.path_of(built_index.index_dir, seg.DOC_META))
+    allowed = dm.where(F.col("lang") == "python").select("doc_id")
+
+    def run(text, k):
+        return [
+            (r["doc_id"], r["score"])
+            for r in built_index.search(
+                text, k, filter_doc_ids=allowed
+            ).collect()
+        ]
+
+    for text, k in [("def license", 10), ("the", 5), ("import tokens", 10)]:
+        monkeypatch.setattr(q, "_FILTER_PUSH_CAP", 1 << 18)
+        pushed = run(text, k)
+        monkeypatch.setattr(q, "_FILTER_PUSH_CAP", 0)  # force fallback
+        fallback = run(text, k)
+        assert pushed == fallback and pushed, (text, pushed[:3], fallback[:3])
+
+    monkeypatch.setattr(q, "_FILTER_PUSH_CAP", 1 << 18)
+    empty = allowed.where(F.lit(False))
+    assert built_index.search("def license", 10,
+                              filter_doc_ids=empty).collect() == []
+
+    # every kernel honors the allow-mask identically (wand_ref is the
+    # test-only oracle; pruned/exhaustive are the production pair)
+    import numpy as np
+
+    handle = built_index.handle()
+    allow_arr = np.unique(
+        np.array([r["doc_id"] for r in allowed.collect()], dtype=np.int64)
+    )
+    qtf = q.analyze_query("def license", handle.meta["mode"])
+    per_kernel = [
+        sorted(
+            [
+                (r["doc_id"], r["score"])
+                for r in q._scored_df(
+                    handle, qtf, 10, False, kernel_name=kn, allow=allow_arr
+                ).collect()
+            ],
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        for kn in ("exhaustive", "pruned", "wand_ref")
+    ]
+    assert per_kernel[0] and per_kernel[0] == per_kernel[1] == per_kernel[2]
+
+
 def test_function_score_boost(built_index, spark):
     """B3 on the segment path: boosted ranking == boost applied to the
     exhaustive all-match scores, exact before the limit."""
