@@ -1109,16 +1109,41 @@ def _q_sessionize_events(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    # binary-column plumbing with stubbed decode (container lacks codecs)
+    # binary-column plumbing with stubbed decode (container lacks codecs).
+    # Everything EXCEPT the histogram values is SQL-expressible, so the gate
+    # projects the oracle-able surface (typed metadata, payload sha256,
+    # frame-sampling count) plus two invariants of the real mapInPandas
+    # kernel output (feature dimension, L1 normalization sum == 1).
     from clinical_trial_searchengine_spark.operators.multimodal import (
         attach_media_stub,
         extract_features,
+        sample_frames,
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     media = attach_media_stub(docs, "doc_id", "text", kind="image")
-    return extract_features(media, n_features=8).select(
-        "media_id", F.size("features").alias("n_features")
+    feats = extract_features(media, n_features=8).select(
+        "media_id",
+        F.size("features").alias("n_features"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
+    )
+    vid = attach_media_stub(docs, "doc_id", "text", kind="video")
+    sampled = sample_frames(vid, every_n=10).groupBy("media_id").agg(
+        F.count("*").alias("n_sampled")
+    )
+    return (
+        media.select(
+            "media_id",
+            "kind",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.n_frames").alias("n_frames"),
+            F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        )
+        .join(feats, "media_id")
+        .join(sampled, "media_id")
     )
 
 
@@ -1185,8 +1210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_lang_tokens": _q_set_ops_lang_tokens,
         "topk_tiebreak": _q_topk_tiebreak,
         "nested_exists": _q_nested_exists,
-        # -- rows-only (no SQL oracle possible) dead last: outside the
-        # driver window these lose nothing (pytest covers their exactness)
+        # -- dead last, outside the ~50-row driver window: two rows-only
+        # gates (no SQL oracle possible; pytest covers their exactness) and
+        # multimodal_features, which IS oracled (scripts/check_entry.py
+        # verifies it) but ranks below every reference-surface gate for a
+        # window slot
         "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_lsh": _q_ann_cosine_lsh,
         "multimodal_features": _q_multimodal_features,
@@ -1842,7 +1870,21 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.5
     )
 
     sqls.update(gate_oracles())
+    # multimodal plumbing: metadata arithmetic, payload sha256, and the
+    # frame-sampling count (size of sequence(0, n_frames-1, 10)) are exact
+    # SQL; the mapInPandas feature kernel is pinned by its dimension and
+    # L1-normalization-sum invariants (histogram VALUES come from the
+    # labeled stub decode — pytest covers their determinism).
+    sqls["multimodal_features"] = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(length(text) % 640 + 32 AS INT) AS width,
+       CAST(length(text) % 480 + 32 AS INT) AS height,
+       CAST(length(text) % 300 + 1 AS INT) AS n_frames,
+       sha256(text) AS payload_sha,
+       8 AS n_features, 1.0 AS feat_sum,
+       CAST((length(text) % 300) // 10 + 1 AS BIGINT) AS n_sampled
+FROM documents WHERE doc_id < 50
+"""
     # no oracle (rows-only driver check): simhash_pairs (md5 bit math not
-    # SQL-practical), ann_cosine_lsh (probabilistic recall),
-    # multimodal_features (stubbed decode)
+    # SQL-practical), ann_cosine_lsh (probabilistic recall)
     return sqls
