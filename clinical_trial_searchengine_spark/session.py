@@ -33,6 +33,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-split sizing: since doc_id assignment went keys-only, the
+        # corpus scan's split count IS the build's content-pass parallelism
+        # (nothing re-shuffles the content afterwards).  The defaults
+        # (128 MB splits, 4 MB per-file open cost) pack a few-hundred-MB
+        # corpus of small files into 2-4 splits and starve every core past
+        # the second — measured 52 s tokenize on 4 executors that runs 14 s
+        # with balanced splits.  8 MB / 1 MB gives one task per few files at
+        # sandbox scale; a 100 TB deployment gets thousands of splits either
+        # way and can raise these via extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", "8388608")
+        .config("spark.sql.files.openCostInBytes", "1048576")
         # local[N] runs executors inside the driver JVM.  Measured on this
         # workload: G1 (default) collapses under 16-32 mutator threads
         # (local[32] build 62s -> 30s just by switching collector), and a

@@ -197,6 +197,14 @@ def _submit_cmd(n_execs: int, tail: list[str]) -> list[str]:
         # size-balanced tasks instead of one straggler (see session.py)
         "--conf",
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum=128",
+        # scan splits are the content-pass parallelism now that doc_id
+        # assignment is keys-only (no content re-shuffle): the 166 MB
+        # 64-file corpus packs into TWO default-sized splits, idling 2 of
+        # 4 executors through tokenize/doc_meta (measured 52 s vs 14 s).
+        # Same values as session.py's sandbox defaults; identical at both
+        # levels so the 1-vs-4 ratio is untouched.
+        "--conf", "spark.sql.files.maxPartitionBytes=8388608",
+        "--conf", "spark.sql.files.openCostInBytes=1048576",
         # locality matters: the build caches its ranged corpus + encode
         # relations per executor; wait=0 measured 2x slower at 4 exec
         # (161s vs 72s postings_write) from remote DISK_ONLY fetches

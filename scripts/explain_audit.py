@@ -168,6 +168,26 @@ def main() -> None:
     if not ok:
         failures.append("warmed query: InMemoryTableScan")
 
+    # 5c. selective-filter pushdown: the allow-mask rides the kernel closure
+    dm = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    filtered = eng.search(
+        "merge join filter", k=10,
+        filter_doc_ids=dm.where(F.col("lang") == "python").select("doc_id"),
+    )
+    audit(
+        "Segment engine query, pushed filter context (B4)",
+        "A selective filter (<= 256k survivor ids) ships INSIDE the scoring "
+        "kernel as an allow-mask, so the plan is the SAME top-k shape as an "
+        "unfiltered query: no post-scoring semi-join on doc_id, no second "
+        "job over the scored set — at 100 TB the filter costs one bounded "
+        "driver collect instead of a score-everything pass.",
+        filtered,
+        [
+            ("no doc_id semi-join after scoring", ["NO_LeftSemi"]),
+            ("TakeOrderedAndProject", ["TakeOrderedAndProject"]),
+        ],
+    )
+
     # 6. materialized IVF index: query must prune to the probed partitions
     from clinical_trial_searchengine_spark.operators.similarity import (
         build_ivf_index,
