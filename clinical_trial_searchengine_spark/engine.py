@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from clinical_trial_searchengine_spark.plans.build import build_index
 from clinical_trial_searchengine_spark.plans.query import (
     IndexHandle,
+    profile_query,
     search,
     search_all,
     search_many,
@@ -104,6 +105,14 @@ class SearchEngine:
         shape (reference: backend/evaluation/evaluation_pipeline.py)."""
         return search_many(
             self.spark, self.index_dir, query_texts, k, handle=self.handle()
+        )
+
+    def profile(self, query_text: str, k: int = 10):
+        """(decision, stats_df): replay the adaptive-kernel choice and run
+        the pruned kernel in profile mode — per-(gen, shard, term) block
+        decode counts.  See plans.query.profile_query."""
+        return profile_query(
+            self.spark, self.index_dir, query_text, k, handle=self.handle()
         )
 
     def search_topk_rows(self, query_text: str, k: int = 10, **kwargs):

@@ -84,6 +84,31 @@ def _empty_result() -> pd.DataFrame:
     )
 
 
+# one row per (gen, shard, term) the pruned kernel touched — the evidence
+# trail for "did block skipping fire" (profile_query below)
+_PROFILE_SCHEMA = (
+    "gen int, shard int, term string, weight double, df long, "
+    "n_blocks long, blocks_decoded long, decode_mode string, "
+    "alive_docs long, theta double"
+)
+_PROFILE_COLS = [
+    "gen", "shard", "term", "weight", "df", "n_blocks", "blocks_decoded",
+    "decode_mode", "alive_docs", "theta",
+]
+
+
+def _profile_pdf(stats: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(stats, columns=_PROFILE_COLS).astype(
+        {"gen": "int32", "shard": "int32", "weight": "float64",
+         "df": "int64", "n_blocks": "int64", "blocks_decoded": "int64",
+         "alive_docs": "int64", "theta": "float64"}
+    )
+
+
+def _empty_profile() -> pd.DataFrame:
+    return _profile_pdf([])
+
+
 def _tomb_local(tombs: np.ndarray, gbase: int, nd: int) -> np.ndarray:
     """Shard-local offsets of tombstoned GLOBAL doc_ids (``tombs`` sorted).
 
@@ -204,7 +229,8 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
 
 
 def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
-                        bases=None, dfs=None, tombs=None, allow=None):
+                        bases=None, dfs=None, tombs=None, allow=None,
+                        profile=False):
     """Vectorized ITERATIVE block-max pruned kernel: WAND-grade block
     skipping with no per-posting Python (the scale answer to 'exhaustive
     decodes every posting of every hot term'; complements §2.8-B6's
@@ -246,13 +272,20 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
     case (nothing prunable) this decodes exactly what exhaustive decodes,
     plus only directory/profile/theta overhead that is O(num_blocks +
     shard_docs) per term — independent of posting count.
+
+    ``profile=True`` turns the kernel into its own introspection twin: the
+    SAME control flow runs, but the output is one row per (gen, shard,
+    term) describing what the pruning actually did (blocks decoded vs
+    total, decode mode, alive-doc count, theta at decision time) instead
+    of top-k rows — the per-shard evidence for "did block skipping fire on
+    this query" that tail-latency tuning needs (VERDICT r3 task #5).
     """
     terms_sorted = sorted(qtf)
     bases = bases or {0: 0}
 
     def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
         if p_pdf.empty or n_pdf.empty:
-            return _empty_result()
+            return _empty_profile() if profile else _empty_result()
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size
         dl = _norms_dl(n_pdf)
@@ -288,7 +321,7 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             if not n:
                 continue
             w = qtf[term] * _idf(N, df)
-            dirs[term] = (w, buf, n, firsts, max_tfs, nb, offs)
+            dirs[term] = (w, buf, n, firsts, max_tfs, nb, offs, int(df))
             mt = max_tfs.astype(np.float64)
             starts = np.clip(
                 (firsts - np.uint64(base)).astype(np.int64), 0, nd
@@ -298,9 +331,10 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             ends[-1] = nd
             steps[term] = (starts, ends, w * mt / (mt + k1 * (1.0 - b)))
         if not dirs:
-            return _empty_result()
+            return _empty_profile() if profile else _empty_result()
 
         dl_tok = _dl_token(dl)
+        stats: list[tuple] = []  # profile rows: one per term processed
 
         def contrib_of(term, ids_t, tfs_t):
             off = (ids_t - np.uint64(base)).astype(np.int64)
@@ -329,7 +363,13 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
         t0 = order[0]
         off0, c0 = full_contrib(t0)
         contribs[t0] = (off0, c0)
+        if profile:
+            nb0 = len(dirs[t0][3])
+            stats.append((gen, shard, t0, dirs[t0][0], dirs[t0][7],
+                          nb0, nb0, "seed", nd, float("nan")))
         if len(order) == 1:
+            if profile:
+                return _profile_pdf(stats)
             acc = np.zeros(nd, dtype=np.float64)
             acc[off0] = c0
             return _topk_from_scores(acc, base + bases[gen], k)
@@ -338,7 +378,7 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
         working[off0] += c0
         for i in range(1, len(order)):
             t = order[i]
-            w, buf, n, firsts, max_tfs, nb, offs = dirs[t]
+            w, buf, n, firsts, max_tfs, nb, offs, t_df = dirs[t]
             theta = (
                 float(np.partition(working, nd - k)[nd - k])
                 if nd > k else -math.inf
@@ -362,13 +402,20 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
                 # per-block selective loop (adaptive, measured) — and the
                 # full decode is served by the cross-query cache
                 off_t, c_t = full_contrib(t)
+                mode, n_dec = "full", len(firsts)
             else:
                 ids_t, tfs_t = decode_blocks(buf, keep, n, firsts, nb, offs)
                 off_t, c_t = contrib_of(t, ids_t, tfs_t)
+                mode, n_dec = "selective", int(keep.size)
+            if profile:
+                stats.append((gen, shard, t, w, t_df, len(firsts), n_dec,
+                              mode, int(alive.sum()), float(theta)))
             contribs[t] = (off_t, c_t)
             if i + 1 < len(order):  # last term: no further theta needed
                 working[off_t] += c_t
 
+        if profile:
+            return _profile_pdf(stats)
         # final accumulate in term-sorted order == oracle summation order
         acc = np.zeros(nd, dtype=np.float64)
         for term in terms_sorted:
@@ -765,6 +812,12 @@ def _scored_df(
         tombs=handle.tombstones if handle.tombstones.size else None,
         allow=allow,
     )
+    return _apply_kernel(handle, qtf, kernel, _RESULT_SCHEMA)
+
+
+def _apply_kernel(handle: IndexHandle, qtf: dict, kernel, schema) -> DataFrame:
+    """Cogroup the term-pruned postings scan with the norms relation and
+    run a per-(gen, shard) kernel — shared by scoring and profiling."""
     postings = handle.postings.where(F.col("term").isin(list(qtf)))
     if handle.warmed:
         # norms are cached + co-partitioned: scanning non-hit shards is free
@@ -779,8 +832,62 @@ def _scored_df(
     return (
         postings.groupby("gen", "shard")
         .cogroup(norms.groupby("gen", "shard"))
-        .applyInPandas(kernel, _RESULT_SCHEMA)
+        .applyInPandas(kernel, schema)
     )
+
+
+def profile_query(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    k: int = 10,
+    handle: IndexHandle | None = None,
+) -> tuple[dict, DataFrame]:
+    """Kernel introspection for one query: what would the default search
+    path DO, and did block-max pruning fire?
+
+    Returns ``(decision, stats_df)``:
+
+    * ``decision`` — the driver-side adaptive-kernel choice replayed with
+      its inputs: {kernel, n_candidates, threshold, k, terms: {term: df}}.
+    * ``stats_df`` — the pruned kernel run in profile mode: one row per
+      (gen, shard, term) with n_blocks / blocks_decoded / decode_mode
+      ('seed' = heaviest term, full decode; 'full' = >50% blocks alive so
+      cache-served full decode; 'selective' = block-skip fired) plus the
+      alive-doc count and theta at decision time.  The stats run IS the
+      real kernel (same closure, profile flag) — no simulation drift.
+
+    This is the tuning loop for tail queries: a hot multi-term query whose
+    rows all say decode_mode='full', alive_docs≈shard size has no skippable
+    work (raise theta seeding / reorder terms); one that says 'selective'
+    with small blocks_decoded is already pruned and its cost is elsewhere.
+    """
+    handle = handle or IndexHandle(spark, index_dir)
+    meta = handle.meta
+    qtf = analyze_query(query_text, meta["mode"])
+    if not qtf:
+        return (
+            {"kernel": None, "n_candidates": 0,
+             "threshold": 16 * k, "k": k, "terms": {}},
+            spark.createDataFrame([], _PROFILE_SCHEMA),
+        )
+    dfs = handle.global_dfs(qtf)
+    n_cand = sum(dfs.get(t, 0) for t in qtf)
+    decision = {
+        "kernel": "pruned" if n_cand > 16 * k else "exhaustive",
+        "n_candidates": int(n_cand),
+        "threshold": 16 * k,
+        "k": k,
+        "terms": {t: int(dfs.get(t, 0)) for t in qtf},
+    }
+    kernel = _make_pruned_kernel(
+        dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
+        meta["k1"], meta["b"], meta["shard_size"], k,
+        bases=handle.bases, dfs=dfs,
+        tombs=handle.tombstones if handle.tombstones.size else None,
+        profile=True,
+    )
+    return decision, _apply_kernel(handle, qtf, kernel, _PROFILE_SCHEMA)
 
 
 def search(
