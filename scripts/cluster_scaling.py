@@ -181,9 +181,23 @@ def _submit_cmd(n_execs: int, tail: list[str]) -> list[str]:
         "--deploy-mode", "client",
         "--driver-memory", "8g",
         # same collector the local-mode cells measured 2x faster on this
-        # workload (see session.py) — keep executor JVMs config-equivalent
-        "--conf", "spark.executor.extraJavaOptions=-XX:+UseParallelGC",
+        # workload (see session.py) — keep executor JVMs config-equivalent.
+        # GC/JIT threads are pinned to the executor's CORE count, not the
+        # HOST's: on this 32-core host a 1-core executor JVM defaults to
+        # ~23 ParallelGC + ~12 C2 threads, so (a) the 4-exec cell runs
+        # 4x35 service threads on 32 cores (event-log: stage taskSum
+        # inflates 1.9-4.7x, pure-JVM cache stage 4.0s -> 14.8s), and
+        # (b) the 1-exec cell silently borrows the idle socket for GC —
+        # parallelism a real cgroup-limited 1-core container never has.
+        # 2 GC threads per 1-core executor = the standard 2x-cores shape;
+        # identical at both levels so the ratio measures executor count.
+        "--conf", "spark.executor.extraJavaOptions="
+        "-XX:+UseParallelGC -XX:ParallelGCThreads=2 -XX:CICompilerCount=2",
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+        # Python-side twin of the same artifact: numpy/BLAS in each
+        # executor's Python workers must not fan out to host cores either
+        "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
+        "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
         "--py-files", ZIP_PATH,
         "--conf", f"spark.cores.max={n_execs}",
         "--conf", "spark.executor.cores=1",
