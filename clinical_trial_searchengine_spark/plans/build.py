@@ -37,9 +37,11 @@ Scale + performance notes (the part that matters at 10^12 docs):
 * Resume: stage-grained manifest + per-shard-group postings writes, each
   group directory overwritten atomically (idempotent).  Reference analogue:
   page_token checkpoint (backend/db/scrape_clinical_trials.py:483-543).
-* persist_input: local corpora (and benchmarks) persist the input because it
-  is consumed by 3 passes (sha check, range sampling, range shuffle); on a
-  real cluster reading Iceberg, leave False and let the scans re-read.
+* persist_input: local corpora (and benchmarks) persist the ASSIGNED join
+  (corpus + doc_id) because it is consumed by 2 content passes (tokenize,
+  doc_meta/sha); the raw corpus itself is never persisted — the assign key
+  scan stays column-pruned and content is cached exactly once.  On a real
+  cluster reading Iceberg, leave False and let the scans re-read.
 """
 
 from __future__ import annotations
@@ -603,8 +605,15 @@ def build_index(
 
     done = seg.manifest_done(spark, index_dir)
     t_cur = _tick("manifest_read", t0)
-    if persist_input and not pre_assigned:
-        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    # NOTE: the raw corpus is deliberately NOT persisted.  persist_input
+    # caches the ASSIGNED join (assign_doc_ids persist_output) — the one
+    # content-sized cache every downstream pass reads.  Persisting the raw
+    # corpus too (pre-r4 behavior) cached the content TWICE: the keys-only
+    # assign scan materialized the full-column corpus cache (event-log:
+    # 14.8s taskSum for what a column-pruned parquet key read does in
+    # ~2s), and the tokenize job then wrote a second content-sized cache
+    # for the join output.  Unpersisted, the key scan stays column-pruned
+    # and content is decoded+cached exactly once, at the join.
 
     has_sha = verify_sha and "content_sha256" in corpus.columns
 
@@ -643,8 +652,10 @@ def build_index(
     _released = []
 
     def _release_caches() -> None:
-        """Drop the corpus / ranged-docs / pairs caches (idempotent) —
-        called as soon as every remaining stage reads only written parquet."""
+        """Drop the assigned-join / ranged-keys / pairs caches (idempotent)
+        — called as soon as every remaining stage reads only written
+        parquet.  (The raw corpus is never persisted — see the note at
+        build start.)"""
         if _released:
             return
         _released.append(True)
@@ -652,8 +663,6 @@ def build_index(
             tokenized.unpersist()
         if hasattr(docs, "_ctse_persisted"):
             docs._ctse_persisted.unpersist()
-        if persist_input and not pre_assigned:
-            corpus.unpersist()
 
     # -- doc_meta: metadata + sha256 invariant in one scan; doc_len joined
     # from the cached sentinel rows (no content, no pair-level shuffle) ----
