@@ -384,11 +384,13 @@ def _make_merge_runs_kernel():
     """mapInArrow kernel that merges salted runs INLINE in the write pass.
 
     Input rows (shard, term, salt, n_postings, cf_local, n_blocks, postings)
-    arrive sorted by (shard, term, salt) within the partition; adjacent rows
-    sharing (shard, term) are salted runs of one hot term and are merged —
-    decode in salt order (salts are contiguous doc_id sub-ranges), concat,
-    re-encode, byte-identical to an unsalted single encode (same property
-    the old ``_merge_group`` path tested).  Everything else — the
+    arrive sorted by (shard, term) within the partition; adjacent rows
+    sharing (shard, term) are runs of one term — explicit hot-term salt
+    sub-ranges and/or map-side per-partition runs — and are merged: decode
+    all, argsort the concatenated doc_ids (unique per term, so the order is
+    total and deterministic), re-encode; byte-identical to an unsalted
+    single encode (same property the old ``_merge_group`` path tested,
+    and independent of how the runs were produced).  Everything else — the
     overwhelming majority — passes through as ZERO-COPY Arrow table slices:
     run boundaries are found with vectorized ``pyarrow.compute`` adjacent
     equality, and only the rows of an actual multi-salt run are ever
@@ -429,7 +431,6 @@ def _make_merge_runs_kernel():
         if not multi.any():
             yield out_tbl
             return
-        salts = tbl.column("salt").to_numpy()
         npost = tbl.column("n_postings").to_numpy()
         cfloc = tbl.column("cf_local").to_numpy()
         posts = tbl.column("postings").chunk(0)
@@ -438,16 +439,22 @@ def _make_merge_runs_kernel():
             if s > pos:
                 yield out_tbl.slice(pos, s - pos)
             idx = np.arange(s, s + ln)
-            order = idx[np.argsort(salts[idx], kind="stable")]
+            # k-way merge by GLOBAL doc_id order: runs may be explicit
+            # salt sub-ranges (disjoint, ordered — argsort degenerates to
+            # concatenation) or map-side per-partition runs (arbitrary
+            # interleaved doc ranges); doc_ids are unique per term, so the
+            # argsort is a deterministic total order and the merged bytes
+            # are identical no matter how the runs were produced — the
+            # salted == unsalted byte-identity property holds unchanged.
             ids_parts, tf_parts = [], []
-            for j in order:
+            for j in idx:
                 d, t = decode_postings(posts[j].as_py())
                 ids_parts.append(d)
                 tf_parts.append(t)
-            buf, n_blocks = encode_postings(
-                np.concatenate(ids_parts),
-                np.concatenate(tf_parts).astype(np.uint64),
-            )
+            ids_all = np.concatenate(ids_parts)
+            tf_all = np.concatenate(tf_parts).astype(np.uint64)
+            morder = np.argsort(ids_all)
+            buf, n_blocks = encode_postings(ids_all[morder], tf_all[morder])
             # cast to the pass-through slices' exact schema — mapInArrow
             # requires every yielded batch to share one schema
             yield pa.table(
@@ -815,6 +822,15 @@ def build_index(
 
         # -- THE shuffle: cached pairs -> salted (shard, term_bucket, salt)
         # encode --
+        # (A map-side SPIMI-style combiner — encode per-partition runs
+        # BEFORE the exchange, shuffle compact runs instead of raw pairs —
+        # was A/B-measured here and REJECTED: it cuts shuffle bytes ~5x,
+        # but it turns every term into a multi-run merge at the write
+        # pass, so the merge kernel's per-run Python path runs for ~150k
+        # terms x ~25 runs instead of only rare salted hot terms;
+        # postings_write went 56s -> 105s at 1 executor.  Shuffling raw
+        # pairs keeps the merge's zero-copy single-run fast path for
+        # 99.9% of terms.)
         salted = (
             pairs.join(F.broadcast(hot_df), "term", "left")
             .withColumn("n_salts", F.coalesce("n_salts", F.lit(1)))
@@ -831,7 +847,6 @@ def build_index(
             "shard int, term string, salt int, n_postings long, "
             "cf_local long, n_blocks int, postings binary"
         )
-        # DISK_ONLY persist: the cold/hot union below reads this twice, and
         # No persist: the encode output streams straight into the shard
         # shuffle below — its ONLY consumer — so the old DISK_ONLY persist
         # (which existed because the hot/cold branch split read it twice)
