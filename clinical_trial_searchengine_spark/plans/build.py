@@ -46,6 +46,7 @@ Scale + performance notes (the part that matters at 10^12 docs):
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import math
 import time
@@ -560,6 +561,42 @@ def _pack_norms(pdf: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@contextlib.contextmanager
+def _coarse_splits(spark: SparkSession,
+                   max_bytes: int = 128 << 20,
+                   open_cost: int = 4 << 20):
+    """Temporarily widen scan-split sizing for the post-write stats reads.
+
+    The session's 8 MB splits are sized for the CONTENT pass (where the
+    scan split count is the build's parallelism).  Split planning counts
+    FULL file sizes, so those same 8 MB splits shatter the blob-heavy
+    written postings into dozens of tiny column-pruned tasks per stats
+    job — pure per-task scheduler/RPC overhead that grows with corpus
+    size and (on 1-core executor JVMs) with executor count.  Stats reads
+    prune to a few small integer columns; coarse splits give them a
+    handful of real tasks instead.
+    """
+    keys = {
+        "spark.sql.files.maxPartitionBytes": str(max_bytes),
+        "spark.sql.files.openCostInBytes": str(open_cost),
+    }
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -785,6 +822,7 @@ def build_index(
     )
 
     if todo or need_term_stats:
+        stats_src: DataFrame | None = None  # shared written-postings scan
         # -- hot-term salt plan (explicit + logged, SURVEY.md §4.2) from a
         # SAMPLE of the pairs.  Salting is performance-only (salted ==
         # unsalted byte-identically, property-tested), so estimated df is
@@ -919,14 +957,23 @@ def build_index(
             # the group-counts job below or it runs on a full old-gen
             # (measured 13.1s GC on a 14.4s 4-task count job)
             _release_caches()
-            written = spark.read.parquet(
-                seg.path_of(index_dir, seg.POSTINGS)
-            )
-            group_counts = {
-                r["group"]: r["n"]
-                for r in written.where(F.col("group").isin(todo))
-                .groupBy("group").agg(F.count("*").alias("n")).collect()
-            }
+            # ONE column-pruned, coarse-split scan of the written postings
+            # serves BOTH the per-group manifest counts here and the global
+            # term_stats agg below (it was two full re-plans before; the
+            # 8 MB content-pass splits made each one dozens of tiny tasks —
+            # measured as term_stats marginal-gap anti-scaling, 0.46 s ->
+            # 1.12 s going 1 -> 4 one-core executors at 150k marginal docs).
+            with _coarse_splits(spark):
+                stats_src = (
+                    spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS))
+                    .select("group", "term", "n_postings", "cf_local")
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                group_counts = {
+                    r["group"]: r["n"]
+                    for r in stats_src.where(F.col("group").isin(todo))
+                    .groupBy("group").agg(F.count("*").alias("n")).collect()
+                }
             for g in todo:
                 n_terms = int(group_counts.get(g, 0))
                 seg.manifest_append(
@@ -947,26 +994,33 @@ def build_index(
 
         # -- EXACT global term stats (df = Σ per-shard posting counts, cf =
         # Σ per-shard tf sums) aggregated from the WRITTEN postings with
-        # column pruning — a terms-level read, no pair-level shuffle, no
-        # in-memory persist.  Covers ALL groups on disk, so a resumed build
-        # that crashed between postings and term_stats recovers here.
+        # column pruning — a terms-level read (reusing the shared
+        # stats_src scan when this build just wrote postings), no
+        # pair-level shuffle.  Covers ALL groups on disk, so a resumed
+        # build that crashed between postings and term_stats recovers here.
         # Format v2: postings carry only per-shard partials; query-time idf
         # reads this term dictionary (Lucene's term-metadata/posting split).
         if need_term_stats:
             start = time.time()
-            (
-                spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS))
-                .groupBy("term")
-                .agg(
-                    F.sum("n_postings").alias("df"),
-                    F.sum("cf_local").alias("cf"),
+            with _coarse_splits(spark):
+                src = stats_src if stats_src is not None else (
+                    spark.read.parquet(seg.path_of(index_dir, seg.POSTINGS))
+                    .select("term", "n_postings", "cf_local")
                 )
-                .write.mode("overwrite")
-                .parquet(seg.path_of(index_dir, seg.TERM_STATS))
-            )
+                (
+                    src.groupBy("term")
+                    .agg(
+                        F.sum("n_postings").alias("df"),
+                        F.sum("cf_local").alias("cf"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(seg.path_of(index_dir, seg.TERM_STATS))
+                )
             seg.manifest_append(
                 spark, index_dir, "term_stats", 0, "done", started_at=start
             )
+        if stats_src is not None:
+            stats_src.unpersist()
     t_cur = _tick("term_stats", t_cur)
 
     # -- norms (doc_len arrays per shard chunk) --
