@@ -198,6 +198,20 @@ def _submit_cmd(n_execs: int, tail: list[str]) -> list[str]:
         # executor's Python workers must not fan out to host cores either
         "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
         "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
+        # glibc in the Python workers: the tokenize/encode kernels allocate
+        # and free multi-MB numpy/Arrow buffers per batch; with the default
+        # dynamic mmap threshold every large buffer is mmap'd on malloc and
+        # munmap'd on free, so each batch re-faults hundreds of MB of zeroed
+        # pages — kernel page-allocator work (sampled: the workers burn
+        # mostly SYSTEM time at stage tails) that contends across the 4
+        # executors' workers at 4x and single-threads at 1x.  Raising the
+        # mmap/trim thresholds keeps those buffers on the reused heap:
+        # pages fault once per worker, not once per batch.  Identical at
+        # both levels; it removes kernel-side work, it does not shift the
+        # measured ratio by config asymmetry.
+        "--conf", "spark.executorEnv.MALLOC_MMAP_THRESHOLD_=134217728",
+        "--conf", "spark.executorEnv.MALLOC_TRIM_THRESHOLD_=134217728",
+        "--conf", "spark.executorEnv.MALLOC_ARENA_MAX=2",
         "--py-files", ZIP_PATH,
         "--conf", f"spark.cores.max={n_execs}",
         "--conf", "spark.executor.cores=1",
