@@ -70,8 +70,28 @@ def _spark_bin(name: str) -> str:
 
 
 def load1() -> float:
-    with open("/proc/loadavg") as f:
-        return float(f.read().split()[0])
+    """Busy cores measured from /proc/stat over 3s (user+nice+system+
+    iowait+irq+steal), NOT /proc/loadavg: this sandbox's kernel reports a
+    loadavg of ~2 with the box 100% idle (vmstat id=100, r<=1), so a
+    loadavg gate blocks campaign cells on an idle machine indefinitely.
+    Direct busy-core accounting measures the actual competition a cell
+    would face."""
+
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        idle = v[3]
+        busy = sum(v) - idle
+        return busy, idle
+
+    b0, i0 = snap()
+    time.sleep(3)
+    b1, i1 = snap()
+    db, di = b1 - b0, i1 - i0
+    if db + di == 0:
+        return 0.0
+    ncpu = os.cpu_count() or 32
+    return ncpu * db / (db + di)
 
 
 def make_zip() -> None:
