@@ -198,9 +198,18 @@ def _make_doc_len_col(mode: str):
     expression; porter needs the Python kernel (stopword filter changes the
     count).  Both match analyze_batch exactly."""
     if mode == "standard":
-        return F.size(
-            F.expr("regexp_extract_all(lower(content), '[a-z0-9]+', 0)")
+        # token count WITHOUT materializing tokens: collapse every
+        # [a-z0-9]+ run to a single marker char (ONE regex pass emitting
+        # one string — no per-token java.lang.String, which made the
+        # regexp_extract_all form ~1.6 ms/doc), then count markers with
+        # the char-map translate.  After the replace no original alnum
+        # char survives, so every '\x01' is exactly one token.
+        collapsed = F.regexp_replace(
+            F.col("content"), r"(?i)[a-z0-9]+", "\x01"
         )
+        return (
+            F.length(collapsed) - F.length(F.translate(collapsed, "\x01", ""))
+        ).cast("int")
 
     @F.pandas_udf("int")
     def _dl(texts: pd.Series) -> pd.Series:
@@ -614,6 +623,7 @@ def build_index(
     persist_input: bool = True,
     pre_assigned: bool = False,
     pre_tokenized: DataFrame | None = None,
+    pairs_storage: str = "none",
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics dict.
 
@@ -638,6 +648,21 @@ def build_index(
          groupBy(term) shuffle over every pair.  Postings rows carry only
          per-shard partials (format v2): query-time idf reads the term
          dictionary, the Lucene term-metadata/posting-data split.
+
+    ``pairs_storage`` — how the tokenized (doc_id, term, tf) relation is
+    held between pass 2 and pass 5:
+      * "none" (default, standard mode): NOT held at all — the tokenizer
+        streams straight into the salted encode shuffle (one fused stage),
+        doc_len comes from a pure-JVM expression in the doc_meta scan, and
+        the salt plan tokenizes a Bernoulli doc sample.  Byte-identical
+        output (property-tested) with no pairs-sized materialization —
+        the 100 TB shape, and measurably better multi-executor scaling
+        (the cache builders were the build's dominant page-allocator load).
+      * "disk_only": UnsafeRow-serialized executor-local spill.
+      * "memory_and_disk": Spark's columnar in-memory cache (v1 behavior;
+        pays a row-at-a-time column builder per pair).
+    Porter mode always materializes (its stopword-filtered doc_len needs
+    the Python kernel's sentinel rows).
     """
     t0 = time.time()
     stage_sec: dict[str, float] = {}
@@ -676,21 +701,66 @@ def build_index(
     own_tokenize = pre_tokenized is None
     if own_tokenize:
         kernel_schema = "doc_id long, term string, tf int"
-        tokenized = (
-            docs.select("doc_id", "content")
-            .mapInArrow(
-                make_tokenize_pairs_kernel_arrow(mode, emit_doc_len=True),
+        # pairs cache level: "disk_only" serializes UnsafeRows to executor-
+        # local disk; "memory_and_disk" builds Spark's columnar in-memory
+        # cache.  The columnar path pays a row-at-a-time
+        # CompressibleColumnBuilder.appendFrom per pair (jstack-profiled:
+        # the dominant JVM cost of the tokenize stage, and the per-row
+        # allocation churn contends across executors sharing a socket —
+        # multi-executor cells measured the stage's task CPU inflating
+        # ~4x at 4 one-core executors).  DISK_ONLY streams the rows out
+        # with the cheap UnsafeRow serializer; both downstream consumers
+        # (salt-plan sample, salted encode) read it sequentially once, and
+        # at 100 TB a pairs relation would never fit a memory cache anyway.
+        fuse = pairs_storage == "none" and mode == "standard"
+        if fuse:
+            # "none": NO pairs materialization anywhere.  The tokenize
+            # kernel streams straight into the encode shuffle's map side
+            # (ONE fused stage: scan -> doc_id join -> tokenize -> salted
+            # repartition write), doc_len comes from the pure-JVM
+            # _make_doc_len_col expression inside the doc_meta scan (it
+            # matches the kernel token count exactly — property-tested),
+            # and the salt plan estimates df from a tokenized CORPUS
+            # sample instead of a pairs-cache sample.  This is the
+            # 100 TB shape: a pairs relation is ~10x the corpus and
+            # restreaming one extra tokenize of a 0.1% sample beats
+            # materializing it (measured here: the pairs cache write was
+            # the build's largest page-allocator load, and kernel-side
+            # page zeroing is what contends across co-located executors).
+            # Porter mode keeps the sentinel path: its doc_len (stopword-
+            # filtered) needs the Python kernel anyway.
+            tokenized = docs.select("doc_id", "content").mapInArrow(
+                make_tokenize_pairs_kernel_arrow(mode, emit_doc_len=False),
                 kernel_schema,
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        tokenized.count()  # materialize the tokenize persist once
+            pairs = tokenized
+            doc_len_df = None
+        else:
+            pairs_level = (
+                StorageLevel.DISK_ONLY
+                if pairs_storage == "disk_only"
+                else StorageLevel.MEMORY_AND_DISK
+            )
+            tokenized = (
+                docs.select("doc_id", "content")
+                .mapInArrow(
+                    make_tokenize_pairs_kernel_arrow(mode, emit_doc_len=True),
+                    kernel_schema,
+                )
+                .persist(pairs_level)
+            )
+            tokenized.count()  # materialize the tokenize persist once
+            pairs = tokenized.where(F.col("term").isNotNull())
+            doc_len_df = tokenized.where(F.col("term").isNull()).select(
+                "doc_id", F.col("tf").alias("doc_len")
+            )
     else:
         tokenized = pre_tokenized
-    pairs = tokenized.where(F.col("term").isNotNull())
-    doc_len_df = tokenized.where(F.col("term").isNull()).select(
-        "doc_id", F.col("tf").alias("doc_len")
-    )
+        fuse = False
+        pairs = tokenized.where(F.col("term").isNotNull())
+        doc_len_df = tokenized.where(F.col("term").isNull()).select(
+            "doc_id", F.col("tf").alias("doc_len")
+        )
     t_cur = _tick("tokenize", t_cur)
 
     _released = []
@@ -703,7 +773,7 @@ def build_index(
         if _released:
             return
         _released.append(True)
-        if own_tokenize:
+        if own_tokenize and not fuse:
             tokenized.unpersist()
         if hasattr(docs, "_ctse_persisted"):
             docs._ctse_persisted.unpersist()
@@ -717,16 +787,26 @@ def build_index(
     if ("doc_meta", 0) not in done:
         dm_written_this_run = True
         start = time.time()
-        dm = docs.select(
-            *meta_cols,
-            (
-                (F.sha2(F.col("content"), 256) == F.col("content_sha256"))
-                if has_sha
-                else F.lit(True)
-            ).alias("sha_ok"),
-        ).join(doc_len_df, "doc_id", "left").withColumn(
-            "doc_len", F.coalesce("doc_len", F.lit(0))
-        )
+        sha_col = (
+            (F.sha2(F.col("content"), 256) == F.col("content_sha256"))
+            if has_sha
+            else F.lit(True)
+        ).alias("sha_ok")
+        if doc_len_df is None:
+            # fused path: doc_len is the pure-JVM token-count expression,
+            # computed inside the same content scan as the sha — no
+            # sentinel join, no second content pass
+            dm = docs.select(
+                *meta_cols,
+                sha_col,
+                F.coalesce(_make_doc_len_col(mode), F.lit(0)).alias(
+                    "doc_len"
+                ),
+            )
+        else:
+            dm = docs.select(*meta_cols, sha_col).join(
+                doc_len_df, "doc_id", "left"
+            ).withColumn("doc_len", F.coalesce("doc_len", F.lit(0)))
         dm.write.mode("overwrite").parquet(seg.path_of(index_dir, seg.DOC_META))
         # sha_ok flag on THIS row records whether the persisted sha_ok column
         # was actually computed (vs the verify_sha=False lit(True)
@@ -830,9 +910,22 @@ def build_index(
         # every pair (a whole extra shuffle of the corpus-sized relation).
         # Exact df/cf now fall out of the encode output below (B5 unchanged).
         frac = min(1.0, 1000.0 / max(hot_df_threshold, 1))
-        sampled = pairs if frac >= 1.0 else pairs.sample(
-            fraction=frac, seed=42
-        )
+        if fuse and frac < 1.0:
+            # fused path has no pairs cache to sample: tokenize a Bernoulli
+            # DOC sample instead (cluster sample of the same pair
+            # population — df_est stays unbiased, variance is fine for a
+            # performance-only salt plan, and the sample scan reads ~frac
+            # of the content bytes instead of re-streaming every pair)
+            sampled = docs.sample(fraction=frac, seed=42).select(
+                "doc_id", "content"
+            ).mapInArrow(
+                make_tokenize_pairs_kernel_arrow(mode, emit_doc_len=False),
+                "doc_id long, term string, tf int",
+            )
+        else:
+            sampled = pairs if frac >= 1.0 else pairs.sample(
+                fraction=frac, seed=42
+            )
         hot_rows = (
             sampled.groupBy("term")
             .agg((F.count("*") / F.lit(frac)).alias("df_est"))

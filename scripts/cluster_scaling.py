@@ -211,8 +211,18 @@ def _submit_cmd(n_execs: int, tail: list[str]) -> list[str]:
         # parallelism a real cgroup-limited 1-core container never has.
         # 2 GC threads per 1-core executor = the standard 2x-cores shape;
         # identical at both levels so the ratio measures executor count.
+        # -Xmn1g -XX:-UseAdaptiveSizePolicy: FIXED small young gen so the
+        # allocation-heavy string stages GC over RE-USED eden pages instead
+        # of lazily faulting fresh heap.  This host's kernel page-zeroing
+        # collapses under multi-process concurrency (jstack + /proc
+        # forensics, 2026-08-19): with the default adaptive ~4g eden, the
+        # regex/sha doc_meta stage measured 8x task-CPU inflation at 4
+        # one-core executor JVMs (129.5 task-sec vs 14.9 at 1 executor for
+        # identical work; local[4] in ONE JVM shows none).  Identical at
+        # both levels, as always.
         "--conf", "spark.executor.extraJavaOptions="
-        "-XX:+UseParallelGC -XX:ParallelGCThreads=2 -XX:CICompilerCount=2",
+        "-XX:+UseParallelGC -XX:ParallelGCThreads=2 -XX:CICompilerCount=2 "
+        "-Xmn1g -XX:-UseAdaptiveSizePolicy",
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         # Python-side twin of the same artifact: numpy/BLAS in each
         # executor's Python workers must not fan out to host cores either
@@ -232,6 +242,12 @@ def _submit_cmd(n_execs: int, tail: list[str]) -> list[str]:
         "--conf", "spark.executorEnv.MALLOC_MMAP_THRESHOLD_=134217728",
         "--conf", "spark.executorEnv.MALLOC_TRIM_THRESHOLD_=134217728",
         "--conf", "spark.executorEnv.MALLOC_ARENA_MAX=2",
+        # pyarrow's default pool here is jemalloc, which the MALLOC_* pins
+        # never governed (r4b/INVESTIGATION.md addendum) — route Arrow
+        # buffers onto the glibc pool the pins DO govern, so worker-side
+        # big buffers stay on the reused heap instead of mmap/munmap-
+        # churning the same slow kernel page allocator
+        "--conf", "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL=system",
         "--py-files", ZIP_PATH,
         "--conf", f"spark.cores.max={n_execs}",
         "--conf", "spark.executor.cores=1",
@@ -272,6 +288,10 @@ def run_cell(n_execs: int, n_docs: int) -> dict | None:
         "--index-dir", index_dir,
         "--shard-size", "50000",
         "--hot-df-threshold", str(max(1000, n_docs // 10)),
+        # cluster shape: no input cache (re-scan beats caching content) and
+        # the fused zero-materialization tokenize->encode pipeline
+        "--no-persist-input",
+        "--pairs-storage", "none",
     ])
     t0 = time.time()
     out = subprocess.run(cmd, capture_output=True, text=True,

@@ -238,3 +238,50 @@ def test_sha_failure_then_fixed_corpus_resumes_clean(
     assert meta["num_docs"] == len(small_corpus_pdf)
     dm = spark.read.parquet(seg.path_of(d, seg.DOC_META))
     assert dm.where(~F.col("sha_ok")).count() == 0
+
+
+def test_fused_build_identical_to_classic(spark, small_corpus_df, tmp_path):
+    """pairs_storage='none' (tokenize fused straight into the encode
+    shuffle, doc_len from the JVM expression, salt plan from a doc sample)
+    must produce byte-identical index artifacts to the classic
+    materialized-pairs build — postings payloads included."""
+    from clinical_trial_searchengine_spark.engine import SearchEngine
+
+    outs = {}
+    for name, ps in [("classic", "memory_and_disk"), ("fused", "none")]:
+        d = str(tmp_path / name)
+        SearchEngine(spark, d).build(
+            small_corpus_df,
+            shard_size=48,
+            hot_df_threshold=40,
+            max_salts=4,
+            n_resume_groups=2,
+            norm_chunk=16,
+            pairs_storage=ps,
+        )
+        outs[name] = d
+
+    for sub, sort in [
+        (seg.DOC_META, ["doc_id"]),
+        (seg.TERM_STATS, ["term"]),
+        (seg.NORMS, ["shard", "chunk"]),
+        (seg.POSTINGS, ["group", "shard", "term"]),
+    ]:
+        a = (
+            spark.read.parquet(seg.path_of(outs["classic"], sub))
+            .toPandas().sort_values(sort).reset_index(drop=True)
+        )
+        b = (
+            spark.read.parquet(seg.path_of(outs["fused"], sub))
+            .toPandas().sort_values(sort).reset_index(drop=True)
+        )
+        assert len(a) == len(b), sub
+        a, b = a[sorted(a.columns)], b[sorted(b.columns)]
+        assert list(a.columns) == list(b.columns), sub
+        for col in a.columns:
+            if a[col].dtype == object:
+                assert all(
+                    x == y for x, y in zip(a[col], b[col])
+                ), f"{sub}.{col}"
+            else:
+                assert a[col].equals(b[col]), f"{sub}.{col}"
