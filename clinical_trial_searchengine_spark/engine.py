@@ -14,6 +14,7 @@ from clinical_trial_searchengine_spark.plans.query import (
     search,
     search_all,
     search_many,
+    search_many_rows,
 )
 from clinical_trial_searchengine_spark.plans.segments import read_meta
 
@@ -114,6 +115,27 @@ class SearchEngine:
         return profile_query(
             self.spark, self.index_dir, query_text, k, handle=self.handle()
         )
+
+    def search_many_rows(
+        self, query_texts: dict[str, str], k: int = 10
+    ) -> dict[str, list[tuple[int, float]]]:
+        """Serving twin of :meth:`search_many`: same one-job batch kernel,
+        global top-k merged on the driver over the bounded per-shard
+        candidates (coordinating-node shape) — no Window exchange."""
+        return search_many_rows(
+            self.spark, self.index_dir, query_texts, k, handle=self.handle()
+        )
+
+    def serving(self, **kwargs):
+        """A thread-safe :class:`BatchingSearchServer` over this engine —
+        the concurrent-load surface (adaptive micro-batching amortizes the
+        per-query driver cost across whatever concurrency queues up).
+        Call :meth:`warm` first."""
+        from clinical_trial_searchengine_spark.serving import (
+            BatchingSearchServer,
+        )
+
+        return BatchingSearchServer(self, **kwargs)
 
     def search_topk_rows(self, query_text: str, k: int = 10, **kwargs):
         """Driver-side list[(doc_id, score)] — convenience for tests/bench."""

@@ -1066,21 +1066,18 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
     return kernel
 
 
-def search_many(
+def _scored_many(
     spark: SparkSession,
     index_dir: str,
     query_texts: dict[str, str],
-    k: int = 10,
-    handle: IndexHandle | None = None,
-) -> DataFrame:
-    """Top-k for a SET of queries in one distributed job.
-
-    Returns DataFrame (query_id, doc_id, score, rank), rank-identical per
-    query to :func:`search`.  Postings are scanned once for the union of
-    all query terms; per-shard work decodes each posting list once and
-    reuses the normalized tf vector across queries."""
-    from pyspark.sql import Window
-
+    k: int,
+    handle: IndexHandle | None,
+) -> DataFrame | None:
+    """Shared body of :func:`search_many` / :func:`search_many_rows`:
+    per-(gen, shard) batch-kernel scoring — one postings scan for the
+    union of all query terms, each posting list decoded once per shard
+    for the whole batch — with per-shard per-query top-k output
+    (query_id, doc_id, score).  None when no query has tokens."""
     handle = handle or IndexHandle(spark, index_dir)
     meta = handle.meta
     queries = {
@@ -1089,9 +1086,7 @@ def search_many(
     }
     queries = {qid: q for qid, q in queries.items() if q}
     if not queries:
-        return spark.createDataFrame(
-            [], "query_id string, doc_id long, score double, rank int"
-        )
+        return None
     terms = sorted({t for q in queries.values() for t in q})
     kernel = _make_batch_kernel(
         queries, meta["num_docs"], meta["avg_doc_len"] or 1.0,
@@ -1107,13 +1102,72 @@ def search_many(
         norms = handle.norms.join(
             F.broadcast(hit_shards), ["gen", "shard"], "left_semi"
         )
-    scored = (
+    return (
         postings.groupby("gen", "shard")
         .cogroup(norms.groupby("gen", "shard"))
         .applyInPandas(kernel, "query_id string, doc_id long, score double")
     )
+
+
+def search_many(
+    spark: SparkSession,
+    index_dir: str,
+    query_texts: dict[str, str],
+    k: int = 10,
+    handle: IndexHandle | None = None,
+) -> DataFrame:
+    """Top-k for a SET of queries in one distributed job.
+
+    Returns DataFrame (query_id, doc_id, score, rank), rank-identical per
+    query to :func:`search`.  Postings are scanned once for the union of
+    all query terms; per-shard work decodes each posting list once and
+    reuses the normalized tf vector across queries."""
+    from pyspark.sql import Window
+
+    scored = _scored_many(spark, index_dir, query_texts, k, handle)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def search_many_rows(
+    spark: SparkSession,
+    index_dir: str,
+    query_texts: dict[str, str],
+    k: int = 10,
+    handle: IndexHandle | None = None,
+) -> dict[str, list[tuple[int, float]]]:
+    """Serving-shape twin of :func:`search_many`: same single batch-kernel
+    job, but the global per-query top-k merge runs on the DRIVER over the
+    collected per-shard candidates instead of a Window exchange.
+
+    The kernel output is bounded — ≤ k rows per (gen, shard, query) — so
+    the collect is ≤ n_shards · n_gens · n_queries · k tiny rows (the
+    Lucene/OpenSearch coordinating-node merge shape: shards return their
+    local top-k, the coordinator heap-merges).  Cutting the exchange +
+    window stage roughly halves the per-batch fixed cost, which is the
+    Amdahl term that caps concurrent-serving executor scaling.
+
+    Returns {query_id: [(doc_id, score)]} ordered by (score desc, doc_id
+    asc), rank-identical to :func:`search_many` (property-tested)."""
+    scored = _scored_many(spark, index_dir, query_texts, k, handle)
+    out: dict[str, list[tuple[int, float]]] = {q: [] for q in query_texts}
+    if scored is None:
+        return out
+    # Arrow collect + one vectorized sort: at Q queries the candidate set
+    # is Q · n_shards · k rows — per-Row python objects would put a
+    # Q-linear serial term right back on the driver.
+    pdf = scored.toArrow().to_pandas()
+    pdf = pdf.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    ).groupby("query_id", sort=False).head(k)
+    for qid, doc_id, score in pdf.itertuples(index=False):
+        out[qid].append((int(doc_id), float(score)))
+    return out

@@ -1,0 +1,171 @@
+"""Concurrent query serving with adaptive micro-batching.
+
+The per-query serving path pays a fixed driver-side cost — eager plan
+analysis + py4j round-trips for the cogroup/applyInPandas plan — of
+~40-75 ms per `search()` call (scripts/profile_query_overhead.py).  Under
+concurrent load that fixed cost is the Amdahl serial fraction that caps
+executor scaling: executors idle in the gap between one query's collect
+and the next query's job submission.
+
+`BatchingSearchServer` removes it the way the reference's backend does
+with OpenSearch `_msearch` (one HTTP round trip, many queries — the
+reference evaluation pipeline batches all 75 TREC topics per run,
+reference: backend/evaluation/evaluation_pipeline.py:122-150): concurrent
+callers enqueue requests, a single dispatcher thread drains WHATEVER is
+queued (adaptive batch size: under light load a batch of 1 leaves
+latency untouched; under heavy load batches grow to `max_batch` and the
+per-job driver cost amortizes across the batch) and runs ONE
+`search_many` job for the whole batch.  `search_many` is rank-identical
+per query to `search` (same kernels, same (score desc, doc_id asc)
+tie-break), so batching changes throughput, never results.
+
+Scale note (100 TB / 1000 executors): one batched job scans the postings
+once for the UNION of all batched query terms and decodes each posting
+list once per shard for the whole batch — batching helps twice (driver
+amortization AND shared decode), which is why every production search
+engine serves this shape.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from clinical_trial_searchengine_spark.engine import SearchEngine
+
+
+@dataclass
+class _Request:
+    text: str
+    k: int
+    future: Future = field(default_factory=Future)
+
+
+class BatchingSearchServer:
+    """Thread-safe top-k search façade over a warmed :class:`SearchEngine`.
+
+    Parameters
+    ----------
+    engine:       warmed SearchEngine (call ``engine.warm()`` first —
+                  the dispatcher submits jobs from one thread, so the
+                  engine's lazily-built IndexHandle is safe).
+    max_batch:    cap on queries folded into one Spark job.  Keeps the
+                  batch kernel's per-task score-vector working set
+                  bounded (one float64 vector per query per shard).
+    max_wait_ms:  how long the dispatcher lingers after draining the
+                  queue to let stragglers join the batch.  0 (default)
+                  = purely adaptive: never add latency, batch only what
+                  concurrency already queued.
+    """
+
+    def __init__(
+        self,
+        engine: "SearchEngine",
+        max_batch: int = 64,
+        max_wait_ms: float = 0.0,
+    ):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self._queue: list[_Request] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._closed = False
+        self.batches_run = 0
+        self.queries_served = 0
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="ctse-batch-dispatch",
+            daemon=True,
+        )
+        self._thread.start()
+
+    # -- client surface ----------------------------------------------------
+
+    def search(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Blocking top-k: returns [(doc_id, score)] exactly as
+        ``SearchEngine.search_topk_rows`` would."""
+        return self.submit(query_text, k).result()
+
+    def submit(self, query_text: str, k: int = 10) -> Future:
+        """Non-blocking: a Future resolving to [(doc_id, score)]."""
+        req = _Request(str(query_text), int(k))
+        with self._wake:
+            if self._closed:
+                raise RuntimeError("server closed")
+            self._queue.append(req)
+            self._wake.notify()
+        return req.future
+
+    def close(self) -> None:
+        with self._wake:
+            self._closed = True
+            self._wake.notify()
+        self._thread.join(timeout=30)
+        with self._lock:
+            leftovers, self._queue = self._queue, []
+        for r in leftovers:  # pragma: no cover - close() races are benign
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("server closed"))
+
+    def __enter__(self) -> "BatchingSearchServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- dispatcher ---------------------------------------------------------
+
+    def _take_batch(self) -> list[_Request]:
+        with self._wake:
+            while not self._queue and not self._closed:
+                self._wake.wait(timeout=0.5)
+            batch = self._queue[: self.max_batch]
+            del self._queue[: len(batch)]
+        if batch and self.max_wait_s > 0 and len(batch) < self.max_batch:
+            time.sleep(self.max_wait_s)  # straggler window (opt-in)
+            with self._lock:
+                extra = self._queue[: self.max_batch - len(batch)]
+                del self._queue[: len(extra)]
+            batch.extend(extra)
+        return batch
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                if self._closed:
+                    return
+                continue
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # noqa: BLE001 - fail the batch, not the loop
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run_batch(self, batch: list[_Request]) -> None:
+        # identical (text, k) requests share one executed query
+        uniq: dict[tuple[str, int], list[_Request]] = {}
+        for r in batch:
+            uniq.setdefault((r.text, r.k), []).append(r)
+        if len(uniq) == 1:
+            # singleton batch: the per-query path is one plan, one job —
+            # strictly cheaper than search_many + window rank
+            (text, k), reqs = next(iter(uniq.items()))
+            rows = self.engine.search_topk_rows(text, k=k)
+            for r in reqs:
+                r.future.set_result(rows)
+        else:
+            kmax = max(k for _, k in uniq)
+            qids = {f"b{i}": text for i, (text, _k) in enumerate(uniq)}
+            by_qid = self.engine.search_many_rows(qids, k=kmax)
+            for qid, (key, reqs) in zip(qids, uniq.items()):
+                ranked = by_qid[qid]
+                for r in reqs:
+                    r.future.set_result(ranked[: r.k])
+        self.batches_run += 1
+        self.queries_served += len(batch)

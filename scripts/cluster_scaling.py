@@ -175,8 +175,11 @@ def stop_cluster() -> None:
 
 def materialize_corpora() -> None:
     missing = [n for n in SIZES if not os.path.exists(_corpus_dir(n))]
-    if not missing:
-        return
+    for n in missing:
+        _materialize_corpus(n)
+
+
+def _materialize_corpus(n: int) -> None:
     from clinical_trial_searchengine_spark.session import get_spark
     from clinical_trial_searchengine_spark.sources.corpus import (
         generate_corpus_df,
@@ -185,9 +188,8 @@ def materialize_corpora() -> None:
     spark = get_spark(master="local[32]", shuffle_partitions=32,
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
-    for n in missing:
-        generate_corpus_df(spark, n, seed=42, partitions=64)\
-            .write.mode("overwrite").parquet(_corpus_dir(n))
+    generate_corpus_df(spark, n, seed=42, partitions=max(64, n // 8000))\
+        .write.mode("overwrite").parquet(_corpus_dir(n))
     spark.stop()
 
 
@@ -406,22 +408,34 @@ def run_paired_epochs(n_epochs: int, thresh: float) -> None:
 
 QHIST = os.path.join(REPO, "BENCH", "query_cluster_cells.json")
 QUERY_DOCS = 200_000
+# Marginal-throughput query cells run on a 1M-doc index: at 200k docs a
+# batched query's executor work is small enough that per-job fixed cost
+# dominates and the 1-vs-4 ratio measures the driver, not the cluster.
+# 10^12-file scale is the regime the north rule cares about — bigger
+# per-query work is the faithful cell.
+MARGINAL_QUERY_DOCS = 1_000_000
+# shard_size per corpus: ~2-4 scoring tasks per executor slot at the
+# 4-exec level; at 200k docs fewer/bigger shards win (per-task overhead),
+# at 1M docs 16 shards balance the waves.
+QUERY_SHARDS = {200_000: 50_000, 1_000_000: 62_500}
 
 
-def ensure_query_index() -> str:
+def ensure_query_index(docs: int = QUERY_DOCS) -> str:
     """Build the shared warmed-query index ONCE (4 executors, fast) and
     reuse it for every query cell — query cells must read identical bytes
     so the 1-vs-4 qps ratio only measures executor count."""
-    index_dir = f"/dev/shm/ctse_query_idx_{QUERY_DOCS}"
+    index_dir = f"/dev/shm/ctse_query_idx_{docs}"
     if os.path.exists(os.path.join(index_dir, "meta.json")):
         return index_dir
+    if not os.path.exists(_corpus_dir(docs)):
+        _materialize_corpus(docs)
     shutil.rmtree(index_dir, ignore_errors=True)
     cmd = _submit_cmd(4, [
         os.path.join(REPO, "scripts", "submit_build.py"),
-        "--input", _corpus_dir(QUERY_DOCS),
+        "--input", _corpus_dir(docs),
         "--index-dir", index_dir,
-        "--shard-size", "50000",
-        "--hot-df-threshold", str(QUERY_DOCS // 10),
+        "--shard-size", str(QUERY_SHARDS[docs]),
+        "--hot-df-threshold", str(docs // 10),
     ])
     out = subprocess.run(cmd, capture_output=True, text=True,
                          env=_spark_env(), cwd=REPO, timeout=3600)
@@ -431,7 +445,10 @@ def ensure_query_index() -> str:
 
 
 def run_query_cell(n_execs: int, index_dir: str,
-                   threads: int = 16, rounds: int = 5) -> dict | None:
+                   threads: int = 16, rounds: int = 5,
+                   serving: str = "per_query",
+                   mode: str = "concurrent",
+                   docs: int = QUERY_DOCS) -> dict | None:
     """One concurrent-query throughput cell.
 
     threads=16 (identical at BOTH levels) so the cell measures the
@@ -447,6 +464,8 @@ def run_query_cell(n_execs: int, index_dir: str,
         "--index-dir", index_dir,
         "--threads", str(threads),
         "--rounds", str(rounds),
+        "--serving", serving,
+        "--mode", mode,
     ])
     out = subprocess.run(cmd, capture_output=True, text=True,
                          env=_spark_env(), cwd=REPO, timeout=1800)
@@ -456,64 +475,114 @@ def run_query_cell(n_execs: int, index_dir: str,
         print("query cell failed:", out.stderr[-800:], flush=True)
         return None
     meta = json.loads(lines[-1])
-    meta.update({"executors": n_execs, "n_docs": QUERY_DOCS,
-                 "threads": threads})
+    meta.update({"executors": n_execs, "n_docs": docs,
+                 "threads": threads, "serving": serving, "mode": mode})
     return meta
 
 
-def max_merge_query(got: dict) -> None:
-    """qps is higher-is-better: keep the best window per cell (co-tenant
-    steal only ever LOWERS throughput, so the max estimates unloaded qps
-    — the mirror of min-merge on build seconds)."""
+def _qkey(got: dict) -> str:
+    if got.get("mode") == "marginal":
+        return f"marginal:{got['executors']}:{got['n_docs']}"
+    return f"{got.get('serving', 'per_query')}:{got['executors']}:{got['n_docs']}"
+
+
+def _load_qcells() -> dict:
     cells = {}
     if os.path.exists(QHIST):
         with open(QHIST) as f:
             cells = json.load(f)
-    key = f"{got['executors']}:{got['n_docs']}"
+    # migrate pre-serving-mode keys ("1:200000" = per_query concurrent)
+    for key in [k for k in cells if k.count(":") == 1]:
+        cells.setdefault(f"per_query:{key}", cells.pop(key))
+    return cells
+
+
+def merge_query(got: dict) -> None:
+    """Concurrent cells max-merge on qps (steal only lowers throughput);
+    marginal cells min-merge the per-size walls (the build-cell rule) and
+    recompute marginal qps from the merged minima."""
+    cells = _load_qcells()
+    key = _qkey(got)
     prev = cells.get(key)
-    if prev is None or got["qps"] > prev["qps"]:
+    if got.get("mode") == "marginal":
+        if prev is not None:
+            walls = {
+                n: min(float(prev["walls"][n]), float(got["walls"][n]))
+                for n in got["walls"]
+            }
+            small, big = got["sizes"]
+            got = {
+                **got,
+                "walls": {n: round(w, 3) for n, w in walls.items()},
+                "marginal_qps": round(
+                    (big - small)
+                    / (walls[str(big)] - walls[str(small)]), 2),
+            }
+        cells[key] = got
+    elif prev is None or got["qps"] > prev["qps"]:
         cells[key] = got
     os.makedirs(os.path.dirname(QHIST), exist_ok=True)
     with open(QHIST, "w") as f:
         json.dump(cells, f, indent=1)
 
 
+# kept as an alias: older harvest scripts import max_merge_query
+max_merge_query = merge_query
+
+
 def query_report() -> dict | None:
-    if not os.path.exists(QHIST):
+    cells = _load_qcells()
+    if not cells:
         return None
-    with open(QHIST) as f:
-        cells = json.load(f)
     lo, hi = EXECUTORS
-    need = [f"{e}:{QUERY_DOCS}" for e in EXECUTORS]
-    if any(k not in cells for k in need):
-        print(json.dumps({"query_incomplete": True, "have": sorted(cells)}))
-        return None
-    out = {
-        "query_cells": cells,
-        "qps": {str(e): cells[f"{e}:{QUERY_DOCS}"]["qps"] for e in EXECUTORS},
-        "query_speedup": round(
-            cells[f"{hi}:{QUERY_DOCS}"]["qps"]
-            / cells[f"{lo}:{QUERY_DOCS}"]["qps"], 3),
-        "query_scaling_efficiency": round(
-            cells[f"{hi}:{QUERY_DOCS}"]["qps"]
-            / cells[f"{lo}:{QUERY_DOCS}"]["qps"] / (hi / lo), 3),
-    }
+    out = {"query_cells": cells}
+
+    def pair(family: str, docs: int, metric: str):
+        a, b = cells.get(f"{family}:{lo}:{docs}"), cells.get(
+            f"{family}:{hi}:{docs}")
+        if a is None or b is None:
+            return None
+        return {
+            "lo": a[metric], "hi": b[metric],
+            "speedup": round(b[metric] / a[metric], 3),
+            "efficiency": round(b[metric] / a[metric] / (hi / lo), 3),
+        }
+
+    out["per_query"] = pair("per_query", QUERY_DOCS, "qps")
+    out["batched"] = pair("batched", QUERY_DOCS, "qps")
+    out["marginal"] = pair("marginal", MARGINAL_QUERY_DOCS, "marginal_qps")
     print(json.dumps(out))
     return out
 
 
+# the full query-cell matrix one campaign round covers: both serving
+# shapes on the 200k index, plus marginal-throughput cells on the 1M
+# index (docs, serving, mode) per executor level
+QUERY_MATRIX = [
+    (QUERY_DOCS, "per_query", "concurrent"),
+    (QUERY_DOCS, "batched", "concurrent"),
+    (MARGINAL_QUERY_DOCS, "batched", "marginal"),
+]
+
+
 def run_query_campaign(n_cells: int, thresh: float) -> None:
-    index_dir = ensure_query_index()
+    combos = [
+        (docs, serving, mode, e)
+        for docs, serving, mode in QUERY_MATRIX
+        for e in EXECUTORS
+    ]
     done = 0
     while done < n_cells:
         if load1() > thresh:
             time.sleep(30)
             continue
-        e = EXECUTORS[done % len(EXECUTORS)]
-        got = run_query_cell(e, index_dir)
+        docs, serving, mode, e = combos[done % len(combos)]
+        index_dir = ensure_query_index(docs)
+        got = run_query_cell(e, index_dir, serving=serving, mode=mode,
+                             docs=docs)
         done += 1
         if got:
-            max_merge_query(got)
+            merge_query(got)
             print(json.dumps(got), flush=True)
     query_report()
 
