@@ -144,6 +144,27 @@ def main() -> None:
             cells.append(time.time() - t0)
         queries[f"kernel_{kern}_6q"] = round(min(cells), 3)
 
+    # -- 2c. concurrent serving throughput (round 4) --------------------------
+    # 16 driver threads fire the 20-query set x3 at the warmed index through
+    # (a) per-query jobs and (b) the adaptive micro-batching server — the
+    # serving surface; qps is reported so round-over-round JSONs track the
+    # batching win (absolute throughput, same hardware).
+    from concurrent.futures import ThreadPoolExecutor
+
+    serving_qps: dict[str, float] = {}
+    work = [q for _ in range(3) for q in reference_queries()]
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        list(ex.map(lambda q: eng.search_topk_rows(q["text"], k=q["k"]), work))
+    serving_qps["per_query"] = round(len(work) / (time.time() - t0), 2)
+    with eng.serving() as srv:
+        for q in reference_queries():  # warm the batch-kernel path
+            srv.search(q["text"], k=q["k"])
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(lambda q: srv.search(q["text"], k=q["k"]), work))
+        serving_qps["batched"] = round(len(work) / (time.time() - t0), 2)
+
     # -- 3. headline DataFrame ops on driver tables -------------------------
     # Each op runs once untimed (whole-stage-codegen Janino compile is a
     # one-time ~50s JIT cost, amortized to nothing at real scale) and once
@@ -197,6 +218,7 @@ def main() -> None:
         "query_cells": "min_of_3",
         "query_noise_rel_spread": round(statistics.median(spreads), 4),
         "cpus": cpus,
+        "serving_qps_16threads": serving_qps,
         "build_stage_sec": build_meta.get("stage_seconds", {}),
     }
     print(json.dumps(result))

@@ -60,6 +60,15 @@ class BatchingSearchServer:
                   queue to let stragglers join the batch.  0 (default)
                   = purely adaptive: never add latency, batch only what
                   concurrency already queued.
+    max_inflight: batch jobs allowed to run CONCURRENTLY.  One batch
+                  job uses ~n_shards tasks; when the cluster has more
+                  slots than that (e.g. local[32] over an 8-shard
+                  index), a single sequential batch stream cannot
+                  saturate it — pipelining a bounded number of batches
+                  keeps the slots fed while still amortizing driver
+                  cost.  Self-balancing: with spare capacity batches
+                  drain small and often; under saturation they grow to
+                  max_batch.
     """
 
     def __init__(
@@ -67,7 +76,10 @@ class BatchingSearchServer:
         engine: "SearchEngine",
         max_batch: int = 64,
         max_wait_ms: float = 0.0,
+        max_inflight: int = 2,
     ):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.engine = engine
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -77,6 +89,12 @@ class BatchingSearchServer:
         self._closed = False
         self.batches_run = 0
         self.queries_served = 0
+        self._stats_lock = threading.Lock()
+        self._inflight = threading.Semaphore(max(1, int(max_inflight)))
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(1, int(max_inflight)),
+            thread_name_prefix="ctse-batch-run",
+        )
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="ctse-batch-dispatch",
             daemon=True,
@@ -105,6 +123,7 @@ class BatchingSearchServer:
             self._closed = True
             self._wake.notify()
         self._thread.join(timeout=30)
+        self._pool.shutdown(wait=True)
         with self._lock:
             leftovers, self._queue = self._queue, []
         for r in leftovers:  # pragma: no cover - close() races are benign
@@ -140,12 +159,20 @@ class BatchingSearchServer:
                 if self._closed:
                     return
                 continue
-            try:
-                self._run_batch(batch)
-            except Exception as e:  # noqa: BLE001 - fail the batch, not the loop
-                for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+            # bounded pipelining: block once max_inflight batch jobs are
+            # already running, so batches re-grow under saturation
+            self._inflight.acquire()
+            self._pool.submit(self._run_batch_safe, batch)
+
+    def _run_batch_safe(self, batch: list[_Request]) -> None:
+        try:
+            self._run_batch(batch)
+        except Exception as e:  # noqa: BLE001 - fail the batch, not the loop
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+        finally:
+            self._inflight.release()
 
     def _run_batch(self, batch: list[_Request]) -> None:
         # identical (text, k) requests share one executed query
@@ -167,5 +194,6 @@ class BatchingSearchServer:
                 ranked = by_qid[qid]
                 for r in reqs:
                     r.future.set_result(ranked[: r.k])
-        self.batches_run += 1
-        self.queries_served += len(batch)
+        with self._stats_lock:
+            self.batches_run += 1
+            self.queries_served += len(batch)
