@@ -70,13 +70,11 @@ def varint_decode(buf: bytes | memoryview) -> np.ndarray:
     vid = np.zeros(a.size, dtype=np.int64)
     np.cumsum(is_last[:-1], out=vid[1:])
     starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    pos = np.arange(a.size) - starts[vid]
+    pos = (np.arange(a.size) - starts[vid]).astype(np.uint64)
     payload = (a & np.uint8(0x7F)).astype(np.uint64)
-    vals = np.zeros(int(is_last.sum()), dtype=np.uint64)
-    for k in range(int(pos.max()) + 1):
-        sel = pos == k
-        vals[vid[sel]] |= payload[sel] << np.uint64(7 * k)
-    return vals
+    # 7-bit groups of one value never overlap after shifting, so summing
+    # the shifted groups per value (one reduceat pass) equals OR-ing them.
+    return np.add.reduceat(payload << (np.uint64(7) * pos), starts)
 
 
 def varint_decode_prefix(buf: bytes, count: int, offset: int = 0):
@@ -115,40 +113,13 @@ def encode_postings(
     n = doc_ids.size
     if n == 0:
         return varint_encode(np.array([_VERSION, 0, 0], dtype=np.uint64)), 0
-    n_blocks = (n + block_size - 1) // block_size
-
-    block_starts = np.arange(n_blocks) * block_size
-    firsts = doc_ids[block_starts]
-    first_deltas = firsts.copy()
-    first_deltas[1:] = firsts[1:] - firsts[:-1]
-
-    # within-block gaps; gap at each block start := 0
-    gaps = np.zeros(n, dtype=np.uint64)
-    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
-    gaps[block_starts] = 0
-
-    # interleave per-block payloads: gaps then tfs
-    payload_parts = []
-    payload_nbytes = np.empty(n_blocks, dtype=np.int64)
-    max_tfs = np.empty(n_blocks, dtype=np.uint64)
-    for b in range(n_blocks):
-        lo = b * block_size
-        hi = min(lo + block_size, n)
-        vals = np.concatenate((gaps[lo:hi], tfs[lo:hi]))
-        enc = varint_encode(vals)
-        payload_parts.append(enc)
-        payload_nbytes[b] = len(enc)
-        max_tfs[b] = tfs[lo:hi].max()
-
-    directory = np.empty(3 * n_blocks, dtype=np.uint64)
-    directory[0::3] = first_deltas
-    directory[1::3] = max_tfs
-    directory[2::3] = payload_nbytes.astype(np.uint64)
-
-    header = np.concatenate(
-        (np.array([_VERSION, n, n_blocks], dtype=np.uint64), directory)
+    # Single-term special case of the vectorized group encoder (the wire
+    # format is per-term self-contained, so the bytes are identical); this
+    # keeps hot-term merge re-encodes off the old per-block Python loop.
+    bufs, n_blocks = encode_postings_group(
+        doc_ids, tfs, np.array([0, n], dtype=np.int64), block_size
     )
-    return varint_encode(header) + b"".join(payload_parts), int(n_blocks)
+    return bufs[0], int(n_blocks[0])
 
 
 def decode_postings(buf: bytes, block_size: int = BLOCK_SIZE):
@@ -162,16 +133,22 @@ def decode_postings(buf: bytes, block_size: int = BLOCK_SIZE):
     firsts = np.cumsum(dir_vals[0::3])
     payload = vals[3 + 3 * n_blocks :]
 
-    doc_ids = np.empty(n, dtype=np.uint64)
-    tfs = np.empty(n, dtype=np.int64)
-    off = 0
-    for b in range(n_blocks):
-        lo = b * block_size
-        bs = min(block_size, n - lo)
-        gaps = payload[off : off + bs]
-        doc_ids[lo : lo + bs] = firsts[b] + np.cumsum(gaps)
-        tfs[lo : lo + bs] = payload[off + bs : off + 2 * bs].astype(np.int64)
-        off += 2 * bs
+    # Vectorized de-interleave: posting i lives in block blk = i // block_size
+    # (start lo = blk * block_size); its gap sits at payload[2*lo + (i - lo)]
+    # and its tf at payload[2*lo + bs + (i - lo)] where bs is that block's
+    # length (== block_size except possibly the last block).
+    i = np.arange(n, dtype=np.int64)
+    blk = i // block_size
+    lo = blk * block_size
+    bs = np.minimum(block_size, n - lo)
+    gaps = payload[i + lo]
+    tfs = payload[lo + bs + i].astype(np.int64)
+
+    # Segmented cumsum (gap at each block start is 0 by convention):
+    # within-block prefix sum = c[i] - c[block_start], then add firsts[blk].
+    c = np.cumsum(gaps)
+    block_starts = np.arange(n_blocks, dtype=np.int64) * block_size
+    doc_ids = (firsts[blk] + (c - c[block_starts][blk])).astype(np.uint64)
     return doc_ids, tfs
 
 
@@ -227,21 +204,33 @@ def decode_blocks(
     over the concatenated payloads is a single vectorized call — this is
     the selective-decode primitive for block-skip pruning.
     """
-    idxs = list(idxs)
-    if not idxs:
+    idxs = np.asarray(list(idxs), dtype=np.int64)
+    if idxs.size == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     mv = memoryview(buf)
     payload = b"".join(
         mv[int(offsets[i]) : int(offsets[i]) + int(nbytes[i])] for i in idxs
     )
     vals = varint_decode(payload)
-    ids_parts, tf_parts, off = [], [], 0
-    for i in idxs:
-        bs = min(block_size, n - i * block_size)
-        ids_parts.append(firsts[i] + np.cumsum(vals[off : off + bs]))
-        tf_parts.append(vals[off + bs : off + 2 * bs].astype(np.int64))
-        off += 2 * bs
-    return np.concatenate(ids_parts), np.concatenate(tf_parts)
+
+    # Vectorized de-interleave over the selected blocks' concatenated
+    # payloads: selected block k (global index idxs[k], length bs[k])
+    # occupies vals[voff[k] : voff[k] + 2*bs[k]] as gaps then tfs.
+    bs = np.minimum(block_size, n - idxs * block_size)
+    m = int(bs.sum())
+    ends = np.cumsum(bs)
+    starts = ends - bs                      # output row range per block
+    voff = 2 * starts                       # vals offset per block
+    owner = np.repeat(np.arange(idxs.size), bs)
+    j = np.arange(m, dtype=np.int64) - starts[owner]
+    gaps = vals[voff[owner] + j]
+    tfs = vals[voff[owner] + bs[owner] + j].astype(np.int64)
+
+    c = np.cumsum(gaps)
+    doc_ids = (
+        np.asarray(firsts, dtype=np.uint64)[idxs][owner] + (c - c[starts][owner])
+    ).astype(np.uint64)
+    return doc_ids, tfs
 
 
 def encode_postings_group(
