@@ -1,0 +1,198 @@
+"""Probe-gated quiet-window harvester for the cluster scaling cells.
+
+Both gates this repo tried before are blind on this host: /proc/loadavg
+reads ~0 while cells run 20-100% over their minima, and the /proc/stat
+steal counter stays at 0 through the same windows (BENCH/r4b
+INVESTIGATION.md; the 2026-08-19 evening campaign in
+BENCH/cluster_epochs.jsonl shows four epochs at load_start ~0.01 whose
+cells all ran far above their min-merged walls).  The contention is
+co-tenant and invisible to every kernel counter we have.
+
+So measure the thing we actually care about: EFFECTIVE CORE SPEED.
+A deterministic ~0.25 s single-core numpy kernel and a 4-process variant
+of the same kernel are timed; their running MINIMA (persisted in
+BENCH/probe_calibration.json, min-merged exactly like the cells) converge
+to the quiet-window speed after a handful of samples.  A window is
+"quiet" when the current probe walls are within tolerance of those
+minima — i.e. the cores are demonstrably running at the speed the minima
+were measured at.  Cells fired in such windows are directly comparable
+to the recorded minima; everything else is skipped instead of appending
+noise rows.
+
+The 4-process probe matters separately from the 1-core probe: the
+4-executor cells are the first to suffer shared memory-bandwidth/LLC
+contention, which a single-core probe can miss.
+
+Usage:
+  python scripts/probe_gated_harvest.py [--minutes M] [--tol T]
+      [--paired | --cells]   (default --paired: full epochs, gated)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+CALIB = os.path.join(REPO, "BENCH", "probe_calibration.json")
+
+
+def _kernel() -> float:
+    """~0.25 s (quiet) of the same work the build kernels do: integer
+    gather/scatter + float FMA over arrays too big for L2, so both core
+    speed and memory-path contention show up in the wall."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n = 2_000_000
+    idx = rng.integers(0, n, n)
+    x = rng.random(n)
+    t0 = time.perf_counter()
+    for _ in range(12):
+        acc = np.zeros(n)
+        np.add.at(acc, idx[:800_000], x[:800_000])
+        y = x[idx]
+        _ = (y * 1.7 + acc).sum()
+    return time.perf_counter() - t0
+
+
+def _kernel_child(q) -> None:  # pragma: no cover - subprocess body
+    q.put(_kernel())
+
+
+def probe() -> tuple[float, float]:
+    """(single-core wall, max wall over 4 concurrent processes)."""
+    w1 = _kernel()
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_kernel_child, args=(q,)) for _ in range(4)]
+    for p in procs:
+        p.start()
+    walls = [q.get(timeout=60) for _ in procs]
+    for p in procs:
+        p.join()
+    return w1, max(walls)
+
+
+def load_calib() -> dict:
+    if os.path.exists(CALIB):
+        with open(CALIB) as f:
+            return json.load(f)
+    return {"min_w1": None, "min_w4": None, "samples": 0}
+
+
+def save_calib(c: dict) -> None:
+    with open(CALIB, "w") as f:
+        json.dump(c, f, indent=1)
+
+
+def update_calib(c: dict, w1: float, w4: float) -> dict:
+    c["min_w1"] = min(w1, c["min_w1"] or w1)
+    c["min_w4"] = min(w4, c["min_w4"] or w4)
+    c["samples"] = int(c.get("samples", 0)) + 1
+    save_calib(c)
+    return c
+
+
+def window_is_quiet(c: dict, w1: float, w4: float, tol: float) -> bool:
+    if c["min_w1"] is None or c["samples"] < 5:
+        return False  # still calibrating
+    return w1 <= c["min_w1"] * (1 + tol) and w4 <= c["min_w4"] * (1 + tol)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=45)
+    ap.add_argument("--tol", type=float, default=0.06,
+                    help="probe wall tolerance over the calibrated minimum")
+    ap.add_argument("--cells", action="store_true",
+                    help="fire individual min-merge cells instead of epochs")
+    ap.add_argument("--probe-only", action="store_true",
+                    help="just sample the probe and update calibration")
+    args = ap.parse_args()
+
+    calib = load_calib()
+    deadline = time.time() + args.minutes * 60
+
+    if args.probe_only:
+        while time.time() < deadline:
+            w1, w4 = probe()
+            calib = update_calib(calib, w1, w4)
+            print(f"probe w1={w1:.3f}s w4={w4:.3f}s "
+                  f"min=({calib['min_w1']:.3f},{calib['min_w4']:.3f}) "
+                  f"quiet={window_is_quiet(calib, w1, w4, args.tol)}",
+                  flush=True)
+            time.sleep(20)
+        return
+
+    from cluster_scaling import (  # noqa: E402
+        EPOCHS, SIZES, make_zip, materialize_corpora, min_merge, report,
+        run_cell, start_cluster,
+    )
+
+    materialize_corpora()
+    make_zip()
+    start_cluster()
+    small, big = SIZES
+    while time.time() < deadline:
+        w1, w4 = probe()
+        calib = update_calib(calib, w1, w4)
+        quiet = window_is_quiet(calib, w1, w4, args.tol)
+        print(f"probe w1={w1:.3f} w4={w4:.3f} quiet={quiet}", flush=True)
+        if not quiet:
+            time.sleep(25)
+            continue
+        if args.cells:
+            for e, n in ((4, big), (1, big), (4, small), (1, small)):
+                got = run_cell(e, n)
+                if got:
+                    min_merge(got)
+                    print(f"cell {e}:{n} -> {got['build_sec']}s", flush=True)
+                # re-check the window between cells
+                w1, w4 = probe()
+                calib = update_calib(calib, w1, w4)
+                if not window_is_quiet(calib, w1, w4, args.tol):
+                    print("window closed mid-sweep", flush=True)
+                    break
+        else:
+            order = [(1, small), (4, small), (4, big), (1, big)]
+            got = {}
+            for e, n in order:
+                r = run_cell(e, n)
+                if r is None:
+                    break
+                got[(e, n)] = r
+                min_merge(r)
+            if len(got) < 4:
+                continue
+            marg1 = (big - small) / (
+                got[(1, big)]["build_sec"] - got[(1, small)]["build_sec"])
+            marg4 = (big - small) / (
+                got[(4, big)]["build_sec"] - got[(4, small)]["build_sec"])
+            rec = {
+                "cells": {f"{e}:{n}": got[(e, n)]["build_sec"]
+                          for e, n in order},
+                "marginal_1": round(marg1, 1),
+                "marginal_4": round(marg4, 1),
+                "efficiency": round(marg4 / marg1 / 4, 3),
+                "gate": "probe",
+                "probe_w1": round(w1, 3),
+                "probe_w4": round(w4, 3),
+                "stages": {f"{e}:{n}": got[(e, n)].get("stage_sec")
+                           for e, n in order},
+            }
+            with open(EPOCHS, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), flush=True)
+    report()
+
+
+if __name__ == "__main__":
+    main()
