@@ -162,15 +162,36 @@ def main() -> None:
                     print("window closed mid-sweep", flush=True)
                     break
         else:
+            # Paired epoch with MID-EPOCH gating: a full epoch is ~5 min of
+            # cells, long enough for the window to close partway through
+            # (epoch 18 in the history fired on an immature calibration and
+            # recorded a degraded 0.629).  Re-probe between cells; if the
+            # window is no longer quiet, DISCARD the epoch (the cells
+            # themselves were still min-merged — extra samples never hurt a
+            # min) instead of appending a contaminated ratio.  The full
+            # probe trail is recorded so the baseline generator can
+            # post-filter epochs against the FINAL calibration minima.
             order = [(1, small), (4, small), (4, big), (1, big)]
             got = {}
+            trail = [(round(w1, 3), round(w4, 3))]
+            closed = False
             for e, n in order:
                 r = run_cell(e, n)
                 if r is None:
+                    closed = True
                     break
                 got[(e, n)] = r
                 min_merge(r)
-            if len(got) < 4:
+                w1, w4 = probe()
+                calib = update_calib(calib, w1, w4)
+                trail.append((round(w1, 3), round(w4, 3)))
+                if not window_is_quiet(calib, w1, w4, args.tol):
+                    closed = True
+                    print(f"window closed after cell {e}:{n} "
+                          f"(probe {w1:.3f}/{w4:.3f}) — epoch discarded",
+                          flush=True)
+                    break
+            if closed or len(got) < 4:
                 continue
             marg1 = (big - small) / (
                 got[(1, big)]["build_sec"] - got[(1, small)]["build_sec"])
@@ -183,8 +204,9 @@ def main() -> None:
                 "marginal_4": round(marg4, 1),
                 "efficiency": round(marg4 / marg1 / 4, 3),
                 "gate": "probe",
-                "probe_w1": round(w1, 3),
-                "probe_w4": round(w4, 3),
+                "probe_w1": round(trail[0][0], 3),
+                "probe_w4": round(trail[0][1], 3),
+                "probe_trail": trail,
                 "stages": {f"{e}:{n}": got[(e, n)].get("stage_sec")
                            for e, n in order},
             }
