@@ -116,6 +116,13 @@ def main() -> None:
                     help="fire individual min-merge cells instead of epochs")
     ap.add_argument("--probe-only", action="store_true",
                     help="just sample the probe and update calibration")
+    ap.add_argument("--stable", action="store_true",
+                    help="also fire epochs in non-quiet but STATIONARY "
+                         "windows (paired ratio cancels constant load); "
+                         "recorded with gate=stable")
+    ap.add_argument("--stable-band", type=float, default=0.08,
+                    help="max relative drift of mid-epoch probes vs the "
+                         "epoch's first probe for a stable epoch")
     args = ap.parse_args()
 
     calib = load_calib()
@@ -146,7 +153,7 @@ def main() -> None:
         calib = update_calib(calib, w1, w4)
         quiet = window_is_quiet(calib, w1, w4, args.tol)
         print(f"probe w1={w1:.3f} w4={w4:.3f} quiet={quiet}", flush=True)
-        if not quiet:
+        if not quiet and not args.stable:
             time.sleep(25)
             continue
         if args.cells:
@@ -174,6 +181,8 @@ def main() -> None:
             order = [(1, small), (4, small), (4, big), (1, big)]
             got = {}
             trail = [(round(w1, 3), round(w4, 3))]
+            w1_0, w4_0 = w1, w4
+            epoch_quiet = quiet
             closed = False
             for e, n in order:
                 r = run_cell(e, n)
@@ -185,9 +194,19 @@ def main() -> None:
                 w1, w4 = probe()
                 calib = update_calib(calib, w1, w4)
                 trail.append((round(w1, 3), round(w4, 3)))
-                if not window_is_quiet(calib, w1, w4, args.tol):
+                epoch_quiet = epoch_quiet and window_is_quiet(
+                    calib, w1, w4, args.tol)
+                # stability: shared load cancels to first order in the
+                # paired marginal RATIO as long as it is STATIONARY across
+                # the epoch — so a non-quiet epoch is still usable if every
+                # probe stays within a band of the epoch's first probe.
+                stable = (
+                    abs(w1 - w1_0) <= args.stable_band * w1_0
+                    and abs(w4 - w4_0) <= args.stable_band * w4_0
+                )
+                if not epoch_quiet and not (args.stable and stable):
                     closed = True
-                    print(f"window closed after cell {e}:{n} "
+                    print(f"window moved after cell {e}:{n} "
                           f"(probe {w1:.3f}/{w4:.3f}) — epoch discarded",
                           flush=True)
                     break
@@ -203,7 +222,7 @@ def main() -> None:
                 "marginal_1": round(marg1, 1),
                 "marginal_4": round(marg4, 1),
                 "efficiency": round(marg4 / marg1 / 4, 3),
-                "gate": "probe",
+                "gate": "probe" if epoch_quiet else "stable",
                 "probe_w1": round(trail[0][0], 3),
                 "probe_w4": round(trail[0][1], 3),
                 "probe_trail": trail,
