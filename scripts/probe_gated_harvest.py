@@ -68,8 +68,12 @@ def _kernel_child(q) -> None:  # pragma: no cover - subprocess body
 
 
 def probe() -> tuple[float, float]:
-    """(single-core wall, max wall over 4 concurrent processes)."""
-    w1 = _kernel()
+    """(single-core wall, max wall over 4 concurrent processes).
+
+    The single-core wall is min-of-2: we are probing effective CAPACITY,
+    and a one-shot scheduler spike in a single sample is not a window
+    change — unmitigated it discarded whole epochs whose cells were fine."""
+    w1 = min(_kernel(), _kernel())
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
     procs = [ctx.Process(target=_kernel_child, args=(q,)) for _ in range(4)]
@@ -128,7 +132,7 @@ def main() -> None:
                     help="also fire epochs in non-quiet but STATIONARY "
                          "windows (paired ratio cancels constant load); "
                          "recorded with gate=stable")
-    ap.add_argument("--stable-band", type=float, default=0.06,
+    ap.add_argument("--stable-band", type=float, default=0.08,
                     help="max relative drift of mid-epoch w1 probes vs the "
                          "epoch's first probe for a stable epoch")
     ap.add_argument("--stable-band-w4", type=float, default=0.15,
