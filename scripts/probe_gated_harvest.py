@@ -70,19 +70,27 @@ def _kernel_child(q) -> None:  # pragma: no cover - subprocess body
 def probe() -> tuple[float, float]:
     """(single-core wall, max wall over 4 concurrent processes).
 
-    The single-core wall is min-of-2: we are probing effective CAPACITY,
+    Both walls are min-of-2 rounds: we are probing effective CAPACITY,
     and a one-shot scheduler spike in a single sample is not a window
-    change — unmitigated it discarded whole epochs whose cells were fine."""
+    change — unmitigated it discarded whole epochs whose cells were fine
+    (the 4-proc max-wall alone swings +-15% round-to-round on an idle
+    host from spawn/scheduling jitter)."""
     w1 = min(_kernel(), _kernel())
-    ctx = mp.get_context("spawn")
-    q = ctx.Queue()
-    procs = [ctx.Process(target=_kernel_child, args=(q,)) for _ in range(4)]
-    for p in procs:
-        p.start()
-    walls = [q.get(timeout=60) for _ in procs]
-    for p in procs:
-        p.join()
-    return w1, max(walls)
+
+    def _round4() -> float:
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        procs = [
+            ctx.Process(target=_kernel_child, args=(q,)) for _ in range(4)
+        ]
+        for p in procs:
+            p.start()
+        walls = [q.get(timeout=60) for _ in procs]
+        for p in procs:
+            p.join()
+        return max(walls)
+
+    return w1, min(_round4(), _round4())
 
 
 def load_calib() -> dict:
