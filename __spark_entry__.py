@@ -648,6 +648,71 @@ def _q_window_rank(spark, sf_dir):
     )
 
 
+def _q_rank_norm_suite(spark, sf_dir):
+    """A3 min-max normalization + T2/T3 per-group ranking window, merged
+    as a variant-tagged union so both stay inside the driver's 50-row
+    CORRECTNESS window (same merge rule as bm25_suite)."""
+    mn = _q_minmax_norm(spark, sf_dir).select(
+        F.lit("minmax").alias("variant"),
+        F.col("o_orderkey").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("norm_score").cast("double").alias("val"),
+    )
+    wr = _q_window_rank(spark, sf_dir).select(
+        F.lit("rank").alias("variant"),
+        F.col("o_custkey").cast("long").alias("k1"),
+        F.col("o_orderkey").cast("long").alias("k2"),
+        F.col("rank").cast("double").alias("val"),
+    )
+    return mn.unionByName(wr)
+
+
+# Deterministic normalized-condition-key synthesis for the synonym_expand
+# gate: three key slots per document, dialect-shared CASE SQL (parses in
+# both Spark SQL and DuckDB).  Slot collisions (doc_id % 24 == 0 repeats
+# Lung_Cancer; slot 2 adds it a third time when doc_id % 5 == 4) exercise
+# the case-insensitive ordered dedup; 'Unknown_Key' exercises the
+# no-dictionary-entry drop; EGFR_Gene exercises a non-condition key
+# (mapping.get is kind-agnostic in the reference rule).
+_SYN_KEY_SLOTS = (
+    "case doc_id % 8 when 0 then 'Lung_Cancer' when 1 then 'Breast_Cancer' "
+    "when 2 then 'Melanoma' when 3 then 'Leukemia' when 4 then 'Diabetes' "
+    "when 5 then 'Unknown_Key' when 6 then 'Colorectal_Cancer' "
+    "else 'Hypertension' end",
+    "case doc_id % 3 when 0 then 'Lung_Cancer' "
+    "when 1 then 'Colorectal_Cancer' else 'Melanoma' end",
+    "case doc_id % 5 when 0 then 'EGFR_Gene' when 1 then 'Breast_Cancer' "
+    "when 2 then 'Leukemia' when 3 then 'Unknown_Key' "
+    "else 'Lung_Cancer' end",
+)
+
+
+def _q_synonym_expand(spark, sf_dir):
+    """U3 query-side synonym expansion (reference main.py:366-383,
+    _expand_condition_synonyms_for_query) over a batch of synthesized
+    normalized-condition key lists: first 3 synonyms per key, ordered
+    case-insensitive dedup, capped at 7 terms."""
+    from clinical_trial_searchengine_spark.functions.profile_query import (
+        expand_query_synonyms_df,
+    )
+    from clinical_trial_searchengine_spark.functions.synonyms import (
+        synonyms_df,
+    )
+
+    keys = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.array(*[F.expr(s) for s in _SYN_KEY_SLOTS]).alias("keys"),
+        )
+    )
+    return expand_query_synonyms_df(
+        keys, "keys", synonyms_df(spark), ["doc_id"],
+        max_terms=7, max_per_condition=3,
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     # streaming-analogue tumbling-window agg, run as batch
     e = _t(spark, sf_dir, "events")
@@ -1157,7 +1222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unions) to keep the oracled count at 50: bm25_suite =
     plain+boost+filter, hybrid_rank = rrf+ivf legs, ann_cosine_topk =
     brute+ivf, eval_* = per-query + __mean__ row, content_hashes =
-    sha256 invariant + md5 fingerprint (one documents scan)."""
+    sha256 invariant + md5 fingerprint (one documents scan),
+    rank_norm_suite = minmax_norm + window_rank (freed the slot for
+    synonym_expand)."""
     return {
         # -- feasibility path first (X5-X13 / F8 / J6) --
         **_feasibility_gates(),
@@ -1166,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_incremental_upsert": _q_engine_incremental_upsert,
         "rank_eval_end_to_end": _q_rank_eval_end_to_end,
         "engine_bm25_porter": _q_engine_bm25_porter,
+        "synonym_expand": _q_synonym_expand,
         # -- engine (segment) path --
         "engine_bm25_topk": _q_engine_bm25_topk,
         "engine_bm25_wand": _q_engine_bm25_wand,
@@ -1201,8 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rank": _q_hybrid_rank,
         "sessionize_events": _q_sessionize_events,
         "split_bullets_udtf": _q_split_bullets_udtf,
-        "minmax_norm": _q_minmax_norm,
-        "window_rank": _q_window_rank,
+        "rank_norm_suite": _q_rank_norm_suite,
         "eval_ir_metrics": _q_eval_ir_metrics,
         "eval_feasibility_metrics": _q_eval_feasibility_metrics,
         "events_hourly": _q_events_hourly,
@@ -1494,6 +1561,53 @@ ORDER BY query_id
     )
 
 
+def _synonym_expand_oracle() -> str:
+    """DuckDB oracle for the synonym_expand gate, single-sourced from the
+    same dictionary the Spark side broadcasts (synonyms_rows): the
+    dedup-then-cap window chain is order-equivalent to the reference's
+    accumulate-with-early-exit loop because dropping duplicates never
+    reorders survivors."""
+    from clinical_trial_searchengine_spark.functions.synonyms import (
+        demo_synonyms,
+        synonyms_rows,
+    )
+
+    vals = ", ".join(
+        f"('{key}', '{term}', {pos})"
+        for (key, _clean, _kind, term, _term_re, pos) in synonyms_rows(
+            demo_synonyms()
+        )
+    )
+    key_slots = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS cond_pos, {slot} AS key "
+        "FROM documents WHERE doc_id < 400"
+        for i, slot in enumerate(_SYN_KEY_SLOTS)
+    )
+    return f"""
+WITH keys AS (
+{key_slots}
+), syn(key, term, pos) AS (VALUES {vals}),
+j AS (
+  SELECT k.doc_id, k.cond_pos, s.pos, s.term,
+         lower(trim(s.term)) AS tl
+  FROM keys k JOIN syn s ON s.key = k.key
+  WHERE s.pos < 3 AND length(lower(trim(s.term))) > 0
+),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, tl
+                               ORDER BY cond_pos, pos) AS dup_rn
+  FROM j
+),
+r AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cond_pos, pos) AS rank
+  FROM dd WHERE dup_rn = 1
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term FROM r WHERE rank <= 7
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     sqls["bm25_suite"] = "\nUNION ALL\n".join(
@@ -1633,14 +1747,25 @@ SELECT id AS c_custkey, round(sum(rrf), 6) AS rrf_score
 FROM u GROUP BY id
 ORDER BY round(sum(rrf), 6) DESC, id ASC LIMIT 20
 """
-    sqls["minmax_norm"] = """
+    sqls["rank_norm_suite"] = """
 WITH o AS (SELECT * FROM orders WHERE o_orderkey < 200),
 b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM o)
-SELECT o_orderkey,
+SELECT 'minmax' AS variant, CAST(o_orderkey AS BIGINT) AS k1,
+       CAST(NULL AS BIGINT) AS k2,
        round(CASE WHEN b.mx = b.mn THEN 1.0
-             ELSE (o_totalprice - b.mn) / (b.mx - b.mn) END, 6) AS norm_score
+             ELSE (o_totalprice - b.mn) / (b.mx - b.mn) END, 6) AS val
 FROM o CROSS JOIN b
+UNION ALL
+SELECT 'rank' AS variant, CAST(o_custkey AS BIGINT) AS k1,
+       CAST(o_orderkey AS BIGINT) AS k2, CAST(rank AS DOUBLE) AS val
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
 """
+    sqls["synonym_expand"] = _synonym_expand_oracle()
     # per-query rows + the '__mean__' macro-average row in one result
     sqls["eval_ir_metrics"] = f"""
 WITH {_EVAL_BASE_SQL}
@@ -1669,14 +1794,6 @@ SELECT '__mean__' AS query_id,
 FROM fmetrics
 """
     sqls["rank_eval_end_to_end"] = _e2e_oracle_sql()
-    sqls["window_rank"] = """
-SELECT o_custkey, o_orderkey, rank FROM (
-  SELECT o_custkey, o_orderkey,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
-  FROM orders
-) WHERE rank <= 3
-"""
     sqls["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*) AS n, round(avg(value), 4) AS avg_value

@@ -7,12 +7,23 @@ language query before retrieval (reference: backend/api/main.py:322-363,
 time condition-synonym expansion ("query drift",
 reference: backend/api/main.py:366-383,
 ``_expand_condition_synonyms_for_query``).  Both are driver-side query prep
-(a few strings), never distributed work; the expansion draws from the same
+(a few strings) for single-query serving; the expansion draws from the same
 user-supplied synonym dictionary the criteria extractors broadcast
 (functions/synonyms.py).
+
+:func:`expand_query_synonyms_df` is the distributed twin for BATCHES of
+profiles (e.g. expanding a whole query log or an evaluation set in one
+job): same rule, expressed as one broadcast join + one shuffle —
+posexplode the per-row key lists, broadcast-join the synonym table, then a
+single groupBy whose higher-order ``aggregate`` fold does the ordered
+case-insensitive dedup and the ``max_terms`` cap entirely JVM-side (no
+Python UDF, no window cascade, no second exchange).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from clinical_trial_searchengine_spark.functions.synonyms import (
     demo_synonyms,
@@ -94,3 +105,82 @@ def profile_query_text_expanded(
         max_terms=max_terms,
     )
     return text + (". " + ", ".join(extra) if extra else "")
+
+
+def expand_query_synonyms_df(
+    df: DataFrame,
+    keys_col: str,
+    syn_df: DataFrame,
+    id_cols: list[str],
+    max_terms: int = 8,
+    max_per_condition: int = 3,
+) -> DataFrame:
+    """U3 query-side synonym expansion over a DataFrame of key lists —
+    the distributed twin of :func:`expand_condition_synonyms`, applying
+    the reference rule (main.py:366-383) row-wise: for each key in list
+    order take the first ``max_per_condition`` dictionary synonyms, drop
+    blank terms, deduplicate case-insensitively keeping the FIRST
+    occurrence, and cap the surviving sequence at ``max_terms``.
+
+    Returns (*id_cols, rank, term) with rank 1..max_terms in expansion
+    order; rows whose keys have no dictionary entry produce no output
+    (the reference returns ``[]``).
+
+    Scale shape: exactly one shuffle.  ``syn_df`` (a dictionary, ~1e2-1e5
+    rows) is broadcast; the posexploded keys join map-side; the single
+    groupBy(*id_cols) collects a sorted (cond_pos, pos) struct array per
+    row, and a higher-order ``aggregate`` fold performs the ordered dedup
+    + cap JVM-side.  Dedup-then-cap commutes with the reference's
+    accumulate-with-early-exit loop because removing duplicates never
+    reorders the survivors.
+    """
+    keys = df.select(
+        *id_cols, F.posexplode(F.col(keys_col)).alias("_cond_pos", "_key")
+    )
+    syn = (
+        syn_df.where(F.col("pos") < max_per_condition)
+        .select(
+            F.col("key").alias("_key"),
+            F.col("term"),
+            F.lower(F.trim(F.col("term"))).alias("_tl"),
+            F.col("pos").alias("_pos"),
+        )
+        .where(F.length("_tl") > 0)
+    )
+    acc0 = F.expr("cast(array() as array<struct<tl:string,term:string>>)")
+    folded = (
+        keys.join(F.broadcast(syn), "_key", "inner")
+        .groupBy(*id_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_cond_pos", "_pos", "_tl", "term"))
+            ).alias("_seq")
+        )
+        .select(
+            *id_cols,
+            F.aggregate(
+                "_seq",
+                acc0,
+                lambda acc, s: F.when(
+                    (F.size(acc) < F.lit(max_terms))
+                    & ~F.exists(acc, lambda e: e["tl"] == s["_tl"]),
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                s["_tl"].alias("tl"), s["term"].alias("term")
+                            )
+                        ),
+                    ),
+                ).otherwise(acc),
+            ).alias("_kept"),
+        )
+    )
+    return folded.select(
+        *id_cols,
+        F.posexplode(F.transform("_kept", lambda e: e["term"])).alias(
+            "_r0", "term"
+        ),
+    ).select(
+        *id_cols, (F.col("_r0") + F.lit(1)).cast("int").alias("rank"), "term"
+    )

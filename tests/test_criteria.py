@@ -281,3 +281,52 @@ def test_profile_query_text_and_synonym_expansion():
 
     # empty profile fields are skipped without separators
     assert profile_query_text({"age": 70}) == "70 year old"
+
+
+def test_expand_query_synonyms_df_matches_driver_rule(spark):
+    """The distributed batch expansion (one broadcast join + one shuffle)
+    is row-for-row identical to the driver-side reference rule
+    (main.py:366-383) across duplicate keys, unknown keys, blank lists,
+    non-condition keys, and the max_terms cap."""
+    from clinical_trial_searchengine_spark.functions.profile_query import (
+        expand_condition_synonyms,
+        expand_query_synonyms_df,
+    )
+    from clinical_trial_searchengine_spark.functions.synonyms import (
+        demo_synonyms,
+        synonyms_df,
+    )
+
+    keys = sorted(demo_synonyms())
+    cases: list[tuple[int, list[str]]] = []
+    for i in range(40):
+        lst = [keys[i % len(keys)], keys[(i * 7 + 2) % len(keys)]]
+        if i % 3 == 0:
+            lst.append(keys[i % len(keys)])  # duplicate key
+        if i % 4 == 0:
+            lst.append("No_Such_Key")
+        if i % 5 == 0:
+            lst.append(keys[(i * 11 + 5) % len(keys)])
+        cases.append((i, lst))
+    cases.append((100, []))  # empty key list -> no rows
+    cases.append((101, ["No_Such_Key"]))  # all-unknown -> no rows
+
+    for max_terms, max_per in ((7, 3), (4, 2)):
+        sdf = expand_query_synonyms_df(
+            spark.createDataFrame(
+                cases, "pid int, keys array<string>"
+            ),
+            "keys",
+            synonyms_df(spark),
+            ["pid"],
+            max_terms=max_terms,
+            max_per_condition=max_per,
+        )
+        got: dict[int, list[str]] = {}
+        for r in sdf.orderBy("pid", "rank").collect():
+            got.setdefault(r.pid, []).append(r.term)
+        for pid, lst in cases:
+            want = expand_condition_synonyms(
+                lst, max_terms=max_terms, max_per_condition=max_per
+            )
+            assert got.get(pid, []) == want, (pid, lst, max_terms, max_per)
