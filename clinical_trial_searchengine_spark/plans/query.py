@@ -183,7 +183,8 @@ def _postings_by_term(p_pdf: pd.DataFrame, need_df: bool) -> dict:
 
 
 def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
-                            bases=None, dfs=None, tombs=None, allow=None):
+                            bases=None, dfs=None, tombs=None, allow=None,
+                            boost=None):
     """Vectorized per-(gen, shard) kernel: decode-all, accumulate, bounded
     top-k.
 
@@ -195,6 +196,12 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
     (gen-local ids are globalized as base + local).  ``dfs``: {term: GLOBAL
     df} — required for multi-generation indexes where the per-generation
     postings row df is stale; None -> use the row's df (single-gen exact).
+    ``boost``: optional (sorted global doc_ids int64, multipliers float64)
+    pair — pushed function-score (B3): multipliers are applied to the full
+    accumulated scores BEFORE the per-shard heap, so the heap holds the
+    top-k of the BOOSTED order directly (exact: every match's boosted score
+    is materialized here, exhaustively — no pruning bound has to account
+    for the multiplier).
     """
     terms_sorted = sorted(qtf)
     bases = bases or {0: 0}
@@ -223,6 +230,13 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             keep = np.zeros(dl.size, dtype=bool)
             keep[_tomb_local(allow, base + bases[gen], dl.size)] = True
             acc[~keep] = 0.0
+        if boost is not None:
+            bids, bvals = boost
+            gb = base + bases[gen]
+            lo = int(np.searchsorted(bids, gb))
+            hi = int(np.searchsorted(bids, gb + dl.size))
+            if hi > lo:
+                acc[(bids[lo:hi] - gb).astype(np.int64)] *= bvals[lo:hi]
         return _topk_from_scores(acc, base + bases[gen], k)
 
     return kernel
@@ -785,15 +799,28 @@ _KERNEL_ALIASES = {"wand": "pruned"}
 # keeping >256k docs is not selective.
 _FILTER_PUSH_CAP = 1 << 18
 
+# Function-score pushdown (B3): boost maps up to this many (doc_id, value)
+# pairs ship inside the kernel closure as a sorted-id pair of int64/float64
+# arrays (~2 MB at the cap).  Beyond it — a per-doc boost over a large
+# corpus (recency over everything) — the score-everything + join path is
+# the right plan: the boost table itself is distributed data there.
+_BOOST_PUSH_CAP = 1 << 17
+
 
 def _scored_df(
     handle: IndexHandle, qtf: dict, k: int, use_wand: bool,
     kernel_name: str | None = None,
     allow: np.ndarray | None = None,
+    boost_arrs: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     meta = handle.meta
     dfs = handle.global_dfs(qtf)
-    if kernel_name is None and not use_wand:
+    if boost_arrs is not None:
+        # a multiplier >1 can promote a doc past any unboosted block-max
+        # upper bound, so pruning is inadmissible under pushed boost —
+        # the exhaustive kernel scores every match and stays exact.
+        kernel_name = "exhaustive"
+    elif kernel_name is None and not use_wand:
         # adaptive default (all kernels are rank-identical, so this is a
         # pure cost choice): block-skip bookkeeping only pays once the
         # candidate pool dwarfs k — rare-term/no-hit queries never fill
@@ -805,12 +832,13 @@ def _scored_df(
     make = _KERNELS[_KERNEL_ALIASES.get(kernel_name, kernel_name)]
     if allow is not None and allow.size == 0:
         return handle.spark.createDataFrame([], _RESULT_SCHEMA)
+    extra = {"boost": boost_arrs} if boost_arrs is not None else {}
     kernel = make(
         dict(qtf), meta["num_docs"], meta["avg_doc_len"] or 1.0,
         meta["k1"], meta["b"], meta["shard_size"], k,
         bases=handle.bases, dfs=dfs,
         tombs=handle.tombstones if handle.tombstones.size else None,
-        allow=allow,
+        allow=allow, **extra,
     )
     return _apply_kernel(handle, qtf, kernel, _RESULT_SCHEMA)
 
@@ -914,14 +942,19 @@ def search(
     property).  All kernels are rank-identical (equivalence-tested), so
     the choice is cost-only.
     Filter paths push survivor sets <= _FILTER_PUSH_CAP into the kernel as
-    an allow-mask (top-k of the filtered set directly, exact); larger sets
-    and boost paths score exhaustively (they need every match).
+    an allow-mask (top-k of the filtered set directly, exact); boost maps
+    <= _BOOST_PUSH_CAP with clean values (finite, nonzero, unique ids) push
+    as a multiplier array applied inside the exhaustive kernel before its
+    heap (exact: every match's boosted score is materialized).  Larger
+    sets — and boost tables with duplicate ids / zero / non-finite values,
+    whose edge semantics belong to the join — fall back to
+    score-everything + join.
 
     ``boost``: optional (doc_id, _boost) DataFrame — multiplicative
-    function-score applied AFTER BM25, exact: all matches are scored and
-    multiplied before the limit, because a per-doc multiplier can promote a
-    doc past the unboosted per-shard heap cut (B3 on the segment path,
-    reference: backend/api/main.py:293-314).
+    function-score applied AFTER BM25, exact either way: a per-doc
+    multiplier can promote a doc past the unboosted per-shard heap cut, so
+    boosted scoring is never pruned (B3 on the segment path, reference:
+    backend/api/main.py:293-314).
     ``filter_doc_ids``: optional (doc_id) DataFrame — exact filter context
     (B4): membership only, never affects scores, applied before the limit.
     """
@@ -930,24 +963,59 @@ def search(
     if not qtf:
         return spark.createDataFrame([], _RESULT_SCHEMA)
     scored = None
-    if filter_doc_ids is not None and boost is None:
-        # Selective-filter pushdown: if the filter survivor set is small
-        # enough to ship in the task closure (<= _FILTER_PUSH_CAP ids), push
-        # it INTO the kernel as an allow-mask (the tombstone mechanism
-        # inverted) — the per-shard heap then holds the top-k of the
-        # FILTERED set directly (exact: membership never affects scores),
+    if filter_doc_ids is not None or boost is not None:
+        # Pushdown: if the filter survivor set / boost map is small enough
+        # to ship in the task closure, push it INTO the kernel — the
+        # allow-mask is the tombstone mechanism inverted, the boost map a
+        # multiplier array applied before the per-shard heap — so the heap
+        # holds the top-k of the filtered/boosted set directly (exact),
         # instead of scoring every match with k = shard_size and
-        # semi-joining afterwards.  At 100 TB a selective filter (lang,
-        # repo, date range) turns a score-everything pass into a top-k
-        # pass.  Larger survivor sets fall back to the exhaustive
-        # score-then-semi-join path below.
-        ids = [
-            r[0] for r in filter_doc_ids.select("doc_id")
-            .limit(_FILTER_PUSH_CAP + 1).collect()
-        ]
-        if len(ids) <= _FILTER_PUSH_CAP:
-            allow = np.unique(np.asarray(ids, dtype=np.int64))
-            scored = _scored_df(handle, qtf, k, use_wand=False, allow=allow)
+        # joining afterwards.  At 100 TB a selective filter (lang, repo,
+        # date range) or a small promotion table turns a score-everything
+        # pass into a top-k pass.  Oversized inputs (and boost edge values
+        # whose semantics belong to the join) fall back to the exhaustive
+        # score-then-join path below.
+        push_ok, allow, boost_arrs = True, None, None
+        if filter_doc_ids is not None:
+            ids = [
+                r[0] for r in filter_doc_ids.select("doc_id")
+                .limit(_FILTER_PUSH_CAP + 1).collect()
+            ]
+            if len(ids) <= _FILTER_PUSH_CAP:
+                allow = np.unique(np.asarray(ids, dtype=np.int64))
+            else:
+                push_ok = False
+        if push_ok and boost is not None:
+            rows = (
+                boost.select("doc_id", "_boost")
+                .limit(_BOOST_PUSH_CAP + 1).collect()
+            )
+            if len(rows) <= _BOOST_PUSH_CAP:
+                bids = np.asarray([r[0] for r in rows], dtype=np.int64)
+                bvals = np.asarray(
+                    [1.0 if r[1] is None else float(r[1]) for r in rows],
+                    dtype=np.float64,
+                )
+                order = np.argsort(bids, kind="stable")
+                bids, bvals = bids[order], bvals[order]
+                if bids.size and (
+                    np.unique(bids).size != bids.size
+                    or not np.isfinite(bvals).all()
+                    or (bvals == 0.0).any()
+                ):
+                    # duplicate ids duplicate result rows on the join path,
+                    # and a 0-multiplier keeps a 0-score row there; both
+                    # are join-defined semantics — don't reimplement them.
+                    push_ok = False
+                else:
+                    boost_arrs = (bids, bvals)
+            else:
+                push_ok = False
+        if push_ok:
+            scored = _scored_df(
+                handle, qtf, k, use_wand=False,
+                allow=allow, boost_arrs=boost_arrs,
+            )
     if scored is not None:
         pass
     elif filter_doc_ids is not None or boost is not None:

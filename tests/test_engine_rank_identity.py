@@ -196,6 +196,52 @@ def test_function_score_boost(built_index, spark):
         assert abs(r["score"] - s) <= TOL
 
 
+def test_boost_pushdown_matches_join_path(built_index, spark, monkeypatch):
+    """The kernel-pushed boost path (B3 pushdown) is row-identical to the
+    score-everything + join fallback, alone and combined with a pushed
+    filter context; edge-valued boost tables (zero multiplier) fall back
+    and keep join semantics."""
+    from pyspark.sql import functions as F
+    from clinical_trial_searchengine_spark.plans import query as q
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    dm = spark.read.parquet(seg.path_of(built_index.index_dir, seg.DOC_META))
+    boost = dm.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, 2.5)
+        .when(F.col("doc_id") % 7 == 0, 0.4)
+        .otherwise(1.0)
+        .alias("_boost"),
+    )
+    flt = dm.where(F.col("doc_id") % 2 == 0).select("doc_id")
+
+    def rows(**kw):
+        return [
+            (r["doc_id"], round(r["score"], 9))
+            for r in built_index.search("def license", 10, **kw).collect()
+        ]
+
+    for kw in (
+        {"boost": boost},
+        {"boost": boost, "filter_doc_ids": flt},
+    ):
+        pushed = rows(**kw)
+        monkeypatch.setattr(q, "_BOOST_PUSH_CAP", 0)
+        fallback = rows(**kw)
+        monkeypatch.undo()
+        assert pushed and pushed == fallback, kw.keys()
+
+    # zero multiplier: pushdown declines (join keeps the 0-score row
+    # semantics); result must equal the explicit fallback either way
+    zboost = boost.withColumn(
+        "_boost", F.when(F.col("doc_id") == 0, 0.0).otherwise(F.col("_boost"))
+    )
+    pushed = rows(boost=zboost)
+    monkeypatch.setattr(q, "_BOOST_PUSH_CAP", 0)
+    assert pushed == rows(boost=zboost)
+    monkeypatch.undo()
+
+
 def test_multifield_engine_matches_dataframe_path(
     spark, small_corpus_df, tmp_path_factory
 ):
