@@ -541,6 +541,23 @@ def _q_ilike_scan(spark, sf_dir):
     ).select("doc_id")
 
 
+def _q_text_scan_suite(spark, sf_dir):
+    """X15/X16 truncate+whitespace-collapse and F10 ILIKE scan, merged as
+    a variant-tagged union (window-budget merge rule, see queries() doc —
+    freed the slot for the newly-oracled simhash_pairs)."""
+    c = _q_substring_collapse(spark, sf_dir).select(
+        F.lit("collapse").alias("variant"),
+        "doc_id",
+        F.col("norm_prefix").alias("val"),
+    )
+    i = _q_ilike_scan(spark, sf_dir).select(
+        F.lit("ilike").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("string").alias("val"),
+    )
+    return c.unionByName(i)
+
+
 def _q_point_lookup(spark, sf_dir):
     # S8: point lookup by stable key
     return _t(spark, sf_dir, "documents").where(F.col("doc_id") == 42).select(
@@ -1256,11 +1273,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "lang_id_counts": _q_lang_id_counts,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
+        # simhash is md5-deterministic, so the gate IS oracle-able: the
+        # DuckDB twin recomputes the 64-bit fingerprints in SQL
+        # (md5_number_upper == the kernel's little-endian first-8-bytes)
+        # and verifies the banded pipeline against brute-force all-pairs
+        "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_knn_join": _q_ann_knn_join,
         # -- scan/filter/join/agg surface --
-        "substring_collapse": _q_substring_collapse,
-        "ilike_scan": _q_ilike_scan,
+        "text_scan_suite": _q_text_scan_suite,
         "point_lookup": _q_point_lookup,
         "filter_range_membership": _q_filter_range_membership,
         "denorm_children": _q_denorm_children,
@@ -1281,10 +1302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window) slot — the former sha256/md5 gates merged into
         # content_hashes to free it
         "multimodal_features": _q_multimodal_features,
-        # -- dead last, outside the ~50-row driver window: the two
-        # rows-only gates (no SQL oracle possible; pytest covers their
-        # exactness), where losing the driver row loses nothing
-        "simhash_pairs": _q_simhash_pairs,
+        # -- dead last, outside the ~50-row driver window: the one
+        # remaining rows-only gate (bucket recall depends on seeded
+        # random hyperplanes — no SQL oracle possible; pytest covers its
+        # recall property), where losing the driver row loses nothing
         "ann_cosine_lsh": _q_ann_cosine_lsh,
     }
 
@@ -1695,13 +1716,53 @@ FROM documents GROUP BY 1 HAVING count(*) >= 2
     sqls["ngram_jaccard_pairs"] = _JACCARD_PAIRS_SQL
     sqls["minhash_lsh_dedup"] = _JACCARD_PAIRS_SQL
     sqls["lang_id_counts"] = _lang_id_oracle()
-    sqls["substring_collapse"] = (
-        "SELECT doc_id, substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 80) "
-        "AS norm_prefix FROM documents"
-    )
-    sqls["ilike_scan"] = (
-        "SELECT doc_id FROM documents WHERE lower(text) LIKE '%merge join%'"
-    )
+    sqls["text_scan_suite"] = """
+SELECT 'collapse' AS variant, doc_id,
+       substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 80) AS val
+FROM documents
+UNION ALL
+SELECT 'ilike' AS variant, doc_id, CAST(NULL AS VARCHAR) AS val
+FROM documents WHERE lower(text) LIKE '%merge join%'
+"""
+    # SimHash is md5-deterministic end to end, so the banded pigeonhole
+    # pipeline has an exact brute-force twin: recompute every doc's 64-bit
+    # fingerprint in SQL (md5_number_upper(tok) IS the kernel's
+    # little-endian first-8-bytes token hash; tf-weighted bit votes;
+    # two's-complement to match the signed-long column) and emit ALL pairs
+    # at hamming <= 3 — the banding is recall-lossless within the radius,
+    # so banded == all-pairs.
+    sqls["simhash_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents)
+  WHERE length(tok) > 0
+  GROUP BY doc_id, tok
+),
+votes AS (
+  SELECT doc_id, i,
+         sum(tf * (2 * ((md5_number_upper(tok) >> i) & 1)::BIGINT - 1)) AS vote
+  FROM toks, (SELECT unnest(range(64)) AS i) b
+  GROUP BY doc_id, i
+),
+hu AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::HUGEINT << i)
+             ELSE 0::HUGEINT END) AS h
+  FROM votes GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN coalesce(h.h, 0) >= 9223372036854775808::HUGEINT
+              THEN coalesce(h.h, 0) - 18446744073709551616::HUGEINT
+              ELSE coalesce(h.h, 0) END AS BIGINT) AS sim
+  FROM documents d LEFT JOIN hu h USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
     sqls["point_lookup"] = (
         "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
     )
