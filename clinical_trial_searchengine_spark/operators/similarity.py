@@ -284,6 +284,73 @@ def kmeans_centroids(
     return C
 
 
+def kmeans_centroids_distributed(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Exact distributed Lloyd iterations — no bounded sample: EVERY row
+    votes every iteration, so the codebook reflects the full distribution
+    (the driver-side :func:`kmeans_centroids` trains on a ``limit()``
+    sample, which is the classic IVF recipe but a scale nit).
+
+    Scale shape: each iteration is one mapInPandas pass emitting
+    per-partition partial sums (a k×dim matrix + k counts per partition —
+    the k-means sufficient statistics), and the driver reduces only those
+    tiny partials (num_partitions × k rows).  No shuffle, no collect of
+    vector data; the broadcast codebook is k×dim.  Init is deterministic
+    and distributed too: the k rows with the smallest seeded xxhash64(id)
+    (a uniform draw any engine can reproduce).  Spherical (cosine)
+    updates, fixed iteration count.
+    """
+    seeds = (
+        emb.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.vstack([np.asarray(r[0], dtype=np.float64) for r in seeds])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    vecs = emb.select(vec_col)
+    schema = "j int, cnt long, sums array<double>"
+    for _ in range(iters):
+        Cb = C.copy()
+
+        def partials(batches, _C=Cb, _col=vec_col):
+            k, d = _C.shape
+            S = np.zeros((k, d))
+            n = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                M = np.vstack(pdf[_col].to_numpy()).astype(np.float64)
+                M /= np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-30
+                )
+                a = np.argmax(M @ _C.T, axis=1)
+                np.add.at(n, a, 1)
+                np.add.at(S, a, M)
+            nz = np.flatnonzero(n)
+            if nz.size:
+                yield pd.DataFrame(
+                    {"j": nz.astype("int32"), "cnt": n[nz],
+                     "sums": [S[j] for j in nz]}
+                )
+
+        S = np.zeros_like(C)
+        n = np.zeros(len(C), dtype=np.int64)
+        for r in vecs.mapInPandas(partials, schema).collect():
+            S[r["j"]] += np.asarray(r["sums"], dtype=np.float64)
+            n[r["j"]] += r["cnt"]
+        live = np.flatnonzero(n)
+        C[live] = S[live] / n[live, None]
+        C[live] /= np.maximum(
+            np.linalg.norm(C[live], axis=1, keepdims=True), 1e-30
+        )
+    return C
+
+
 def ivf_assign_udf(centroids: np.ndarray):
     """vec -> nearest-centroid list id (the IVF partition key; at 100 TB
     the table is written partitioned/bucketed by this column so a query
@@ -308,6 +375,7 @@ def build_ivf_index(
     seed: int = 42,
     sample_rows: int = 10_000,
     iters: int = 10,
+    train: str = "distributed",
 ) -> dict:
     """Materialize an IVF index: vectors written PARTITIONED BY their
     nearest-centroid list id, centroids in a JSON sidecar.
@@ -318,11 +386,22 @@ def build_ivf_index(
     scripts/explain_audit.py), instead of re-assigning every row per query.
     Analogue of FAISS's train+add persistence
     (reference: backend/search/build_faiss_index.py:215-231).
+
+    ``train``: 'distributed' (default — full-data Lloyd via per-partition
+    sufficient statistics, :func:`kmeans_centroids_distributed`) or
+    'sample' (driver-side bounded-sample training, one Spark job fewer per
+    iteration — fine when a few thousand points per centroid suffice).
     """
     import json
     import os
 
-    C = kmeans_centroids(emb, n_centroids, vec_col, sample_rows, iters, seed)
+    if train == "distributed":
+        C = kmeans_centroids_distributed(
+            emb, n_centroids, vec_col, id_col, iters, seed
+        )
+    else:
+        C = kmeans_centroids(emb, n_centroids, vec_col, sample_rows, iters,
+                             seed)
     (
         emb.withColumn("_list", ivf_assign_udf(C)(F.col(vec_col)))
         .write.mode("overwrite")

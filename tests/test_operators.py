@@ -375,3 +375,35 @@ def test_ngram_jaccard_prefix_filter_equals_naive(docs):
     )
     pd.testing.assert_frame_equal(got, exp)
     assert len(exp) > 0, "fixture must contain at least one near-dup pair"
+
+
+def test_kmeans_distributed_trainer(spark):
+    """The distributed Lloyd trainer (per-partition sufficient statistics,
+    no bounded sample) yields a valid unit-norm codebook, is deterministic
+    at fixed parallelism, and clusters an obviously-separable dataset."""
+    import numpy as np
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        kmeans_centroids_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    # two tight antipodal clusters on the sphere
+    a = rng.standard_normal(8)
+    a /= np.linalg.norm(a)
+    pts = np.vstack(
+        [a + 0.05 * rng.standard_normal(8) for _ in range(150)]
+        + [-a + 0.05 * rng.standard_normal(8) for _ in range(150)]
+    )
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    ).repartition(6)
+    C1 = kmeans_centroids_distributed(emb, n_centroids=2, iters=8)
+    C2 = kmeans_centroids_distributed(emb, n_centroids=2, iters=8)
+    assert C1.shape == (2, 8)
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+    assert np.allclose(C1, C2)  # deterministic
+    # centroids land on the two cluster directions (in some order)
+    cos = np.abs(C1 @ a)
+    assert (cos > 0.98).all()
+    assert (C1[0] @ a) * (C1[1] @ a) < 0  # opposite sides
