@@ -101,11 +101,16 @@ class SearchEngine:
             self.spark, self.index_dir, query_text, handle=self.handle()
         )
 
-    def search_many(self, query_texts: dict[str, str], k: int = 10) -> DataFrame:
+    def search_many(
+        self, query_texts: dict[str, str], k: int = 10, **kwargs
+    ) -> DataFrame:
         """Batch top-k for a query SET in one distributed job — the eval
-        shape (reference: backend/evaluation/evaluation_pipeline.py)."""
+        shape (reference: backend/evaluation/evaluation_pipeline.py).
+        ``filters=``/``boosts=``: per-query_id filter-context / boost
+        tables (see plans.query.search_many)."""
         return search_many(
-            self.spark, self.index_dir, query_texts, k, handle=self.handle()
+            self.spark, self.index_dir, query_texts, k,
+            handle=self.handle(), **kwargs,
         )
 
     def profile(self, query_text: str, k: int = 10):
@@ -117,13 +122,14 @@ class SearchEngine:
         )
 
     def search_many_rows(
-        self, query_texts: dict[str, str], k: int = 10
+        self, query_texts: dict[str, str], k: int = 10, **kwargs
     ) -> dict[str, list[tuple[int, float]]]:
         """Serving twin of :meth:`search_many`: same one-job batch kernel,
         global top-k merged on the driver over the bounded per-shard
         candidates (coordinating-node shape) — no Window exchange."""
         return search_many_rows(
-            self.spark, self.index_dir, query_texts, k, handle=self.handle()
+            self.spark, self.index_dir, query_texts, k,
+            handle=self.handle(), **kwargs,
         )
 
     def serving(self, **kwargs):

@@ -1070,19 +1070,79 @@ def search_all(
     return _scored_df(handle, qtf, handle.meta["shard_size"], use_wand=False)
 
 
+def _prepare_pushdowns(
+    filters: dict[str, DataFrame],
+    boosts: dict[str, DataFrame],
+) -> tuple[dict, dict, set]:
+    """Collect per-query filter/boost tables into kernel-pushable arrays.
+
+    Returns (allows, boost_arrs, fallback_qids): ``allows[qid]`` is the
+    sorted int64 allow-mask, ``boost_arrs[qid]`` the sorted (ids, vals)
+    multiplier pair — same caps and edge rules as the single-query
+    pushdown in :func:`search`; any query whose table is oversized or
+    edge-valued lands in ``fallback_qids`` and must be served by the
+    exact single-query join path instead."""
+    allows: dict = {}
+    boost_arrs: dict = {}
+    fallback: set = set()
+    for qid, fdf in filters.items():
+        ids = [
+            r[0] for r in fdf.select("doc_id")
+            .limit(_FILTER_PUSH_CAP + 1).collect()
+        ]
+        if len(ids) <= _FILTER_PUSH_CAP:
+            allows[qid] = np.unique(np.asarray(ids, dtype=np.int64))
+        else:
+            fallback.add(qid)
+    for qid, bdf in boosts.items():
+        if qid in fallback:
+            continue
+        rows = bdf.select("doc_id", "_boost").limit(
+            _BOOST_PUSH_CAP + 1
+        ).collect()
+        if len(rows) > _BOOST_PUSH_CAP:
+            fallback.add(qid)
+            continue
+        bids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        bvals = np.asarray(
+            [1.0 if r[1] is None else float(r[1]) for r in rows],
+            dtype=np.float64,
+        )
+        order = np.argsort(bids, kind="stable")
+        bids, bvals = bids[order], bvals[order]
+        if bids.size and (
+            np.unique(bids).size != bids.size
+            or not np.isfinite(bvals).all()
+            or (bvals == 0.0).any()
+        ):
+            fallback.add(qid)
+        else:
+            boost_arrs[qid] = (bids, bvals)
+    return allows, boost_arrs, fallback
+
+
 def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
                        b: float, shard_size: int, k: int,
-                       bases=None, dfs=None, tombs=None):
+                       bases=None, dfs=None, tombs=None,
+                       allows=None, boosts=None):
     """Multi-query per-shard kernel: decode each needed posting list ONCE,
     accumulate into one score vector per query, bounded top-k per query.
 
     This is the eval-pipeline shape (reference runs 75 TREC topics per run,
     reference: backend/evaluation/evaluation_pipeline.py:122-150): one Spark
     job for the whole query set amortizes scheduling + scan over all
-    queries instead of paying it per query."""
+    queries instead of paying it per query.
+
+    ``allows``/``boosts``: per-query pushed filter masks / boost
+    multiplier pairs from :func:`_prepare_pushdowns` — each applied to its
+    query's score vector before that query's per-shard heap (same
+    exactness argument as the single-query kernel: the batch kernel is
+    exhaustive, every match's final score is materialized)."""
     # term -> [(query_id, qtf*idf placeholder computed with df later)]
     all_terms = sorted({t for q in queries.values() for t in q})
     bases = bases or {0: 0}
+    allows = allows or {}
+    boosts = boosts or {}
 
     def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1125,6 +1185,19 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
                 acc[off] += (qtf[term] * idf) * norm_tf
             if tl is not None and tl.size:
                 acc[tl] = 0.0
+            al = allows.get(qid)
+            if al is not None:
+                keep = np.zeros(dl.size, dtype=bool)
+                keep[_tomb_local(al, base + bases[gen], dl.size)] = True
+                acc[~keep] = 0.0
+            bst = boosts.get(qid)
+            if bst is not None:
+                bids, bvals = bst
+                gb = base + bases[gen]
+                lo = int(np.searchsorted(bids, gb))
+                hi = int(np.searchsorted(bids, gb + dl.size))
+                if hi > lo:
+                    acc[(bids[lo:hi] - gb).astype(np.int64)] *= bvals[lo:hi]
             top = _topk_from_scores(acc, base + bases[gen], k)
             if len(top):
                 top.insert(0, "query_id", qid)
@@ -1140,6 +1213,8 @@ def _scored_many(
     query_texts: dict[str, str],
     k: int,
     handle: IndexHandle | None,
+    allows: dict | None = None,
+    boost_arrs: dict | None = None,
 ) -> DataFrame | None:
     """Shared body of :func:`search_many` / :func:`search_many_rows`:
     per-(gen, shard) batch-kernel scoring — one postings scan for the
@@ -1161,6 +1236,7 @@ def _scored_many(
         meta["k1"], meta["b"], meta["shard_size"], k,
         bases=handle.bases, dfs=handle.global_dfs(terms),
         tombs=handle.tombstones if handle.tombstones.size else None,
+        allows=allows, boosts=boost_arrs,
     )
     postings = handle.postings.where(F.col("term").isin(terms))
     if handle.warmed:
@@ -1183,25 +1259,56 @@ def search_many(
     query_texts: dict[str, str],
     k: int = 10,
     handle: IndexHandle | None = None,
+    filters: dict[str, DataFrame] | None = None,
+    boosts: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Top-k for a SET of queries in one distributed job.
 
     Returns DataFrame (query_id, doc_id, score, rank), rank-identical per
     query to :func:`search`.  Postings are scanned once for the union of
     all query terms; per-shard work decodes each posting list once and
-    reuses the normalized tf vector across queries."""
+    reuses the normalized tf vector across queries.
+
+    ``filters``/``boosts``: optional per-query filter-context / boost
+    tables keyed by query_id (B4/B3 on the batch path — the filtered-eval
+    shape: 75 topics, each against its own cohort).  Pushable tables ride
+    the batch kernel (per-query allow-mask / multiplier array, exact);
+    queries whose tables exceed the push caps or carry join-defined edge
+    values are served by the exact single-query path and unioned back in."""
     from pyspark.sql import Window
 
-    scored = _scored_many(spark, index_dir, query_texts, k, handle)
+    handle = handle or IndexHandle(spark, index_dir)
+    allows, boost_arrs, fallback = _prepare_pushdowns(
+        filters or {}, boosts or {}
+    )
+    batch_q = {q: t for q, t in query_texts.items() if q not in fallback}
+    scored = _scored_many(
+        spark, index_dir, batch_q, k, handle, allows, boost_arrs
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     if scored is None:
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             [], "query_id string, doc_id long, score double, rank int"
         )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    else:
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+    for qid in sorted(fallback & set(query_texts)):
+        one = search(
+            spark, index_dir, query_texts[qid], k,
+            filter_doc_ids=(filters or {}).get(qid),
+            boost=(boosts or {}).get(qid),
+            handle=handle,
+        ).select(
+            F.lit(qid).alias("query_id"), "doc_id", "score",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ).alias("rank"),
+        )
+        out = out.unionByName(one)
+    return out
 
 
 def search_many_rows(
@@ -1210,6 +1317,8 @@ def search_many_rows(
     query_texts: dict[str, str],
     k: int = 10,
     handle: IndexHandle | None = None,
+    filters: dict[str, DataFrame] | None = None,
+    boosts: dict[str, DataFrame] | None = None,
 ) -> dict[str, list[tuple[int, float]]]:
     """Serving-shape twin of :func:`search_many`: same single batch-kernel
     job, but the global per-query top-k merge runs on the DRIVER over the
@@ -1223,9 +1332,28 @@ def search_many_rows(
     Amdahl term that caps concurrent-serving executor scaling.
 
     Returns {query_id: [(doc_id, score)]} ordered by (score desc, doc_id
-    asc), rank-identical to :func:`search_many` (property-tested)."""
-    scored = _scored_many(spark, index_dir, query_texts, k, handle)
+    asc), rank-identical to :func:`search_many` (property-tested).
+    ``filters``/``boosts``: per-query pushdowns, same contract as
+    :func:`search_many`."""
+    handle = handle or IndexHandle(spark, index_dir)
+    allows, boost_arrs, fallback = _prepare_pushdowns(
+        filters or {}, boosts or {}
+    )
     out: dict[str, list[tuple[int, float]]] = {q: [] for q in query_texts}
+    for qid in sorted(fallback & set(query_texts)):
+        out[qid] = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                spark, index_dir, query_texts[qid], k,
+                filter_doc_ids=(filters or {}).get(qid),
+                boost=(boosts or {}).get(qid),
+                handle=handle,
+            ).collect()
+        ]
+    batch_q = {q: t for q, t in query_texts.items() if q not in fallback}
+    scored = _scored_many(
+        spark, index_dir, batch_q, k, handle, allows, boost_arrs
+    )
     if scored is None:
         return out
     # Arrow collect + one vectorized sort: at Q queries the candidate set

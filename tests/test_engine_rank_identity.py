@@ -300,6 +300,65 @@ def test_search_many_matches_per_query(built_index):
         assert [(d, s) for _, d, s in rows] == single, qid
 
 
+def test_search_many_per_query_filters_and_boosts(
+    built_index, spark, monkeypatch
+):
+    """B3/B4 on the batch path: per-query filter contexts and boost maps
+    in search_many/search_many_rows are rank-identical to individual
+    search() calls — through the pushed batch kernel AND through the
+    forced single-query fallback (caps at 0)."""
+    from pyspark.sql import functions as F
+    from clinical_trial_searchengine_spark.plans import query as q
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    dm = spark.read.parquet(seg.path_of(built_index.index_dir, seg.DOC_META))
+    flt_even = dm.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    flt_none = dm.where(F.col("doc_id") < 0).select("doc_id")  # empty
+    boost = dm.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, 3.0).otherwise(1.0).alias("_boost"),
+    )
+    texts = {
+        "plain": "def license",
+        "filtered": "def license",
+        "boosted": "the license import",
+        "both": "def return import",
+        "empty_flt": "def license",
+    }
+    filters = {"filtered": flt_even, "both": flt_even, "empty_flt": flt_none}
+    boosts = {"boosted": boost, "both": boost}
+
+    def singles():
+        return {
+            qid: built_index.search_topk_rows(
+                t, k=10,
+                filter_doc_ids=filters.get(qid), boost=boosts.get(qid),
+            )
+            for qid, t in texts.items()
+        }
+
+    exp = singles()
+    assert exp["empty_flt"] == [] and exp["filtered"] and exp["both"]
+
+    for force_fallback in (False, True):
+        if force_fallback:
+            monkeypatch.setattr(q, "_FILTER_PUSH_CAP", 0)
+            monkeypatch.setattr(q, "_BOOST_PUSH_CAP", 0)
+        rows = built_index.search_many_rows(
+            texts, k=10, filters=filters, boosts=boosts
+        )
+        assert rows == exp, f"rows path, fallback={force_fallback}"
+        batch = built_index.search_many(
+            texts, k=10, filters=filters, boosts=boosts
+        ).collect()
+        got: dict = {qid: [] for qid in texts}
+        for r in batch:
+            got[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+        got = {qid: [(d, s) for _, d, s in sorted(v)] for qid, v in got.items()}
+        assert got == exp, f"df path, fallback={force_fallback}"
+        monkeypatch.undo()
+
+
 def test_multifield_build_tokenizes_once(
     spark, small_corpus_df, tmp_path_factory, monkeypatch
 ):
