@@ -1593,11 +1593,13 @@ def _synonym_expand_oracle() -> str:
         synonyms_rows,
     )
 
+    def _q(s: str) -> str:  # SQL string literal (user dictionary data)
+        return "'" + s.replace("'", "''") + "'"
+
     vals = ", ".join(
-        f"('{key}', '{term}', {pos})"
-        for (key, _clean, _kind, term, _term_re, pos) in synonyms_rows(
-            demo_synonyms()
-        )
+        f"({_q(key)}, {_q(term_orig)}, {pos})"
+        for (key, _clean, _kind, _term, _term_re, pos, term_orig)
+        in synonyms_rows(demo_synonyms())
     )
     key_slots = "\nUNION ALL\n".join(
         f"SELECT doc_id, {i} AS cond_pos, {slot} AS key "
@@ -2062,6 +2064,7 @@ SELECT doc_id AS media_id, 'image' AS kind,
        CAST((length(text) % 300) // 10 + 1 AS BIGINT) AS n_sampled
 FROM documents WHERE doc_id < 50
 """
-    # no oracle (rows-only driver check): simhash_pairs (md5 bit math not
-    # SQL-practical), ann_cosine_lsh (probabilistic recall)
+    # no oracle (rows-only driver check): ann_cosine_lsh only — its
+    # bucket recall depends on seeded random hyperplanes no SQL engine
+    # reproduces; every other gate above is oracled
     return sqls

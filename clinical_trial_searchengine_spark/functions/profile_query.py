@@ -137,12 +137,18 @@ def expand_query_synonyms_df(
     keys = df.select(
         *id_cols, F.posexplode(F.col(keys_col)).alias("_cond_pos", "_key")
     )
+    # emit term_orig (the dictionary's original case — the reference rule
+    # appends terms AS WRITTEN, deduplicating only on the lowered form);
+    # fall back to the lowered term column for pre-term_orig tables
+    term_col = (
+        "term_orig" if "term_orig" in syn_df.columns else "term"
+    )
     syn = (
         syn_df.where(F.col("pos") < max_per_condition)
         .select(
             F.col("key").alias("_key"),
-            F.col("term"),
-            F.lower(F.trim(F.col("term"))).alias("_tl"),
+            F.col(term_col).alias("term"),
+            F.lower(F.trim(F.col(term_col))).alias("_tl"),
             F.col("pos").alias("_pos"),
         )
         .where(F.length("_tl") > 0)

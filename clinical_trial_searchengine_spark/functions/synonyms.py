@@ -69,14 +69,19 @@ def classify_key(key: str) -> tuple[str, str]:
 
 def synonyms_rows(
     mapping: dict[str, list[str]],
-) -> list[tuple[str, str, str, str, str, int]]:
-    """Flatten a mapping to (key, clean_key, kind, term, term_re, pos)."""
+) -> list[tuple[str, str, str, str, str, int, str]]:
+    """Flatten a mapping to (key, clean_key, kind, term, term_re, pos,
+    term_orig).  ``term`` is lowercased (the matching surfaces compare
+    lowercased text); ``term_orig`` keeps the dictionary's original case —
+    the query-expansion rule (main.py:366-383) emits terms AS WRITTEN in
+    the user dictionary, deduplicating only on the lowered form."""
     rows = []
     for key, terms in mapping.items():
         kind, clean = classify_key(key)
         for pos, term in enumerate(terms):
             rows.append(
-                (key, clean, kind, term.lower(), re.escape(term.lower()), pos)
+                (key, clean, kind, term.lower(), re.escape(term.lower()),
+                 pos, term)
             )
     return rows
 
@@ -88,5 +93,5 @@ def synonyms_df(
     rows = synonyms_rows(mapping or demo_synonyms())
     return spark.createDataFrame(
         rows, "key string, clean_key string, kind string, term string, "
-        "term_re string, pos int",
+        "term_re string, pos int, term_orig string",
     )

@@ -168,7 +168,7 @@ def _oracle_syn_cte() -> str:
     rows = synonyms_rows(demo_synonyms())
     vals = ", ".join(
         f"('{k}', '{ck}', '{kd}', '{t}', {_sq(tre)}, {pos})"
-        for (k, ck, kd, t, tre, pos) in rows
+        for (k, ck, kd, t, tre, pos, _orig) in rows
     )
     return (
         "syn(key, clean_key, kind, term, term_re, pos) as (select * from "

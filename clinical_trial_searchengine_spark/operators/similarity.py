@@ -306,6 +306,16 @@ def kmeans_centroids_distributed(
     (a uniform draw any engine can reproduce).  Spherical (cosine)
     updates, fixed iteration count.
     """
+    # persist once: the seed job + every Lloyd pass re-reads these blocks
+    # instead of recomputing the upstream lineage iters+1 times
+    proj = emb.select(id_col, vec_col).persist()
+    try:
+        return _kmeans_lloyd(proj, n_centroids, vec_col, id_col, iters, seed)
+    finally:
+        proj.unpersist()
+
+
+def _kmeans_lloyd(emb, n_centroids, vec_col, id_col, iters, seed):
     seeds = (
         emb.select(vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))

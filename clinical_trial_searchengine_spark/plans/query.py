@@ -929,8 +929,14 @@ def search(
     boost: DataFrame | None = None,
     handle: IndexHandle | None = None,
     kernel: str | None = None,
+    _no_push: bool = False,
 ) -> DataFrame:
     """Top-k BM25. Returns DataFrame (doc_id, score [, repo/path/...]).
+
+    ``_no_push`` (internal): skip the pushdown attempt and take the exact
+    score-then-join path directly — used by the batch path for queries
+    :func:`_prepare_pushdowns` already decided against, so the deciding
+    collect is not paid twice.
 
     ``kernel``: None (default) picks adaptively by global df — 'pruned'
     (vectorized block-max skip) once the candidate pool dwarfs k, else
@@ -975,46 +981,17 @@ def search(
         # pass into a top-k pass.  Oversized inputs (and boost edge values
         # whose semantics belong to the join) fall back to the exhaustive
         # score-then-join path below.
-        push_ok, allow, boost_arrs = True, None, None
-        if filter_doc_ids is not None:
-            ids = [
-                r[0] for r in filter_doc_ids.select("doc_id")
-                .limit(_FILTER_PUSH_CAP + 1).collect()
-            ]
-            if len(ids) <= _FILTER_PUSH_CAP:
-                allow = np.unique(np.asarray(ids, dtype=np.int64))
-            else:
-                push_ok = False
-        if push_ok and boost is not None:
-            rows = (
-                boost.select("doc_id", "_boost")
-                .limit(_BOOST_PUSH_CAP + 1).collect()
+        if _no_push:
+            allows, boost_arrs_m, fallback = {}, {}, {"q"}
+        else:
+            allows, boost_arrs_m, fallback = _prepare_pushdowns(
+                {"q": filter_doc_ids} if filter_doc_ids is not None else {},
+                {"q": boost} if boost is not None else {},
             )
-            if len(rows) <= _BOOST_PUSH_CAP:
-                bids = np.asarray([r[0] for r in rows], dtype=np.int64)
-                bvals = np.asarray(
-                    [1.0 if r[1] is None else float(r[1]) for r in rows],
-                    dtype=np.float64,
-                )
-                order = np.argsort(bids, kind="stable")
-                bids, bvals = bids[order], bvals[order]
-                if bids.size and (
-                    np.unique(bids).size != bids.size
-                    or not np.isfinite(bvals).all()
-                    or (bvals == 0.0).any()
-                ):
-                    # duplicate ids duplicate result rows on the join path,
-                    # and a 0-multiplier keeps a 0-score row there; both
-                    # are join-defined semantics — don't reimplement them.
-                    push_ok = False
-                else:
-                    boost_arrs = (bids, bvals)
-            else:
-                push_ok = False
-        if push_ok:
+        if not fallback:
             scored = _scored_df(
                 handle, qtf, k, use_wand=False,
-                allow=allow, boost_arrs=boost_arrs,
+                allow=allows.get("q"), boost_arrs=boost_arrs_m.get("q"),
             )
     if scored is not None:
         pass
@@ -1085,9 +1062,13 @@ def _prepare_pushdowns(
     allows: dict = {}
     boost_arrs: dict = {}
     fallback: set = set()
+    # NULL doc_ids are dropped up front on BOTH paths' behalf: a NULL key
+    # never matches on the join path either (left-semi / left join on
+    # doc_id), so the pushed plan stays row-identical.
     for qid, fdf in filters.items():
         ids = [
             r[0] for r in fdf.select("doc_id")
+            .where(F.col("doc_id").isNotNull())
             .limit(_FILTER_PUSH_CAP + 1).collect()
         ]
         if len(ids) <= _FILTER_PUSH_CAP:
@@ -1097,9 +1078,11 @@ def _prepare_pushdowns(
     for qid, bdf in boosts.items():
         if qid in fallback:
             continue
-        rows = bdf.select("doc_id", "_boost").limit(
-            _BOOST_PUSH_CAP + 1
-        ).collect()
+        rows = (
+            bdf.select("doc_id", "_boost")
+            .where(F.col("doc_id").isNotNull())
+            .limit(_BOOST_PUSH_CAP + 1).collect()
+        )
         if len(rows) > _BOOST_PUSH_CAP:
             fallback.add(qid)
             continue
@@ -1300,7 +1283,7 @@ def search_many(
             spark, index_dir, query_texts[qid], k,
             filter_doc_ids=(filters or {}).get(qid),
             boost=(boosts or {}).get(qid),
-            handle=handle,
+            handle=handle, _no_push=True,
         ).select(
             F.lit(qid).alias("query_id"), "doc_id", "score",
             F.row_number().over(
@@ -1347,7 +1330,7 @@ def search_many_rows(
                 spark, index_dir, query_texts[qid], k,
                 filter_doc_ids=(filters or {}).get(qid),
                 boost=(boosts or {}).get(qid),
-                handle=handle,
+                handle=handle, _no_push=True,
             ).collect()
         ]
     batch_q = {q: t for q, t in query_texts.items() if q not in fallback}

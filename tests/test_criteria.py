@@ -330,3 +330,36 @@ def test_expand_query_synonyms_df_matches_driver_rule(spark):
                 lst, max_terms=max_terms, max_per_condition=max_per
             )
             assert got.get(pid, []) == want, (pid, lst, max_terms, max_per)
+
+
+def test_expand_query_synonyms_df_mixed_case_dictionary(spark):
+    """User dictionaries are arbitrary-case: the reference rule emits
+    terms AS WRITTEN (dedup key is the lowered form) — the distributed
+    twin must too, including cross-key case-insensitive dedup."""
+    from clinical_trial_searchengine_spark.functions.profile_query import (
+        expand_condition_synonyms,
+        expand_query_synonyms_df,
+    )
+    from clinical_trial_searchengine_spark.functions.synonyms import (
+        synonyms_df,
+    )
+
+    mapping = {
+        "Lung_Cancer": ["NSCLC", "Lung Cancer", "lung carcinoma"],
+        "Breast_Cancer": ["nsclc", "TNBC"],  # dup of NSCLC, lowered
+        "Parkinsons": ["Parkinson's disease", "PD"],
+    }
+    lst = ["Lung_Cancer", "Breast_Cancer", "Parkinsons"]
+    want = expand_condition_synonyms(lst, mapping, max_terms=6)
+    assert want[0] == "NSCLC" and "nsclc" not in want  # original case kept
+    got = [
+        r.term
+        for r in expand_query_synonyms_df(
+            spark.createDataFrame([(1, lst)], "pid int, keys array<string>"),
+            "keys",
+            synonyms_df(spark, mapping),
+            ["pid"],
+            max_terms=6,
+        ).orderBy("rank").collect()
+    ]
+    assert got == want
