@@ -248,8 +248,18 @@ def _q_engine_bm25_multifield(spark, sf_dir):
     )
 
 
-_PORTER_SIDE = "/tmp/ctse_porter_oracle_tokens.parquet"
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"  # the driver's oracle sf
 _PORTER_QUERY = "merging joins filtering"
+
+
+def _porter_side_path(sf_dir: str) -> str:
+    """Porter-token side table, SCOPED to the corpus that wrote it (every
+    other gate artifact is sf-tagged; an unscoped path let an oracle read
+    a token stream materialized for a different corpus)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"/tmp/ctse_porter_oracle_tokens_{tag}.parquet"
 
 
 def _q_engine_bm25_porter(spark, sf_dir):
@@ -277,7 +287,7 @@ def _q_engine_bm25_porter(spark, sf_dir):
             ids.append(int(did))
             terms.append(t)
     pd.DataFrame({"doc_id": ids, "term": terms}).to_parquet(
-        _PORTER_SIDE, index=False
+        _porter_side_path(sf_dir), index=False
     )
     scored = eng.search(_PORTER_QUERY, k=50)
     return _engine_topk_as_orig_ids(
@@ -286,15 +296,16 @@ def _q_engine_bm25_porter(spark, sf_dir):
     )
 
 
-def _porter_oracle_sql(k: int = 10) -> str:
+def _porter_oracle_sql(k: int = 10, sf_dir: str = _DRIVER_SF_DIR) -> str:
     from clinical_trial_searchengine_spark.functions.analysis import (
         tokenize_text,
     )
 
     qterms = sorted(set(tokenize_text(_PORTER_QUERY, "porter")))
     values = ", ".join(f"('{t}', 1.0)" for t in qterms)
+    side = _porter_side_path(sf_dir)
     return f"""
-WITH tok AS (SELECT doc_id, term FROM read_parquet('{_PORTER_SIDE}')),
+WITH tok AS (SELECT doc_id, term FROM read_parquet('{side}')),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
@@ -1631,7 +1642,11 @@ SELECT doc_id, CAST(rank AS INT) AS rank, term FROM r WHERE rank <= 7
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> dict[str, str]:
+    """DuckDB referee SQL per gate.  ``sf_dir`` only parameterizes the
+    porter side-table path (every other oracle reads the harness-bound
+    table views); the driver calls this with no args — the default IS the
+    driver's sf.""" 
     sqls: dict[str, str] = {}
     sqls["bm25_suite"] = "\nUNION ALL\n".join(
         f"SELECT '{variant}' AS variant, doc_id, score FROM ({sql}) t_{variant}"
@@ -1663,7 +1678,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # Porter analyzer chain: BM25 over the independently-generated stemmed
     # token stream (side table written by the gate itself)
-    sqls["engine_bm25_porter"] = _porter_oracle_sql(k=10)
+    sqls["engine_bm25_porter"] = _porter_oracle_sql(k=10, sf_dir=sf_dir)
     sqls["engine_bm25_wand"] = bm25_oracle_sql(_Q_TERMS, k=10)
     sqls["engine_bm25_filtered"] = bm25_oracle_sql(
         _Q_TERMS, k=10, where="d.lang = 'en'"

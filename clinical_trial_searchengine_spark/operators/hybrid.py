@@ -143,12 +143,17 @@ def hybrid_search(
         raise ValueError(
             "hybrid_search needs a dense leg: provide emb or ivf_index_dir"
         )
-    sparse = engine.search(
+    sparse_df = engine.search(
         query_text, k=sparse_n, filter_doc_ids=filter_doc_ids
     )
-    # Materialize the (<= sparse_n row) candidate pool once: the emptiness
-    # probe below and the fused ranking reuse it without re-running BM25.
-    sparse = sparse.localCheckpoint(eager=True)
+    # Materialize the (<= sparse_n row) candidate pool ONCE, on the
+    # driver: the emptiness probe below becomes free and the fused
+    # ranking re-reads a tiny local relation (Spark broadcasts it)
+    # instead of re-running BM25.  A localCheckpoint would also work but
+    # leaks executor storage across calls in a long-lived serving loop —
+    # collected rows are GC'd with the plan.
+    sparse_rows = sparse_df.collect()
+    sparse = engine.spark.createDataFrame(sparse_rows, sparse_df.schema)
     rkw = {} if dense_round_to is None else {"round_to": dense_round_to}
     if ivf_index_dir is not None:
         dense = ivf_search(
@@ -161,7 +166,7 @@ def hybrid_search(
         dense = cosine_topk(
             emb, query_vec, k=dense_n, id_col=id_col, **rkw
         ).select(F.col(id_col).alias("doc_id"), "cosine")
-    if not sparse.head(1):
+    if not sparse_rows:
         # BM25 leg empty (e.g. out-of-vocabulary query): the RRF drop rule
         # would annihilate the result set, so serve the dense-only ranking
         # instead — matching the reference's fallback (backend/api/

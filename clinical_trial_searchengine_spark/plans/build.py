@@ -178,8 +178,27 @@ def assign_doc_ids(
         out = _with_offsets(ranged, offsets)
         out._ctse_persisted = ranged
         return out
+    # (repo, path, commit) is the document identity everywhere (manifest,
+    # upsert, tombstones); a duplicated key would m×n-explode the mapping
+    # join and hand multiple rows one doc_id — corrupt silently.  The
+    # check is one agg over the persisted ~100-byte key rows (≤ cap).
+    if ranged_keys.select(*_KEYS).distinct().count() != total:
+        ranged_keys.unpersist()
+        raise ValueError(
+            "duplicate (repo, path, commit) keys in corpus — the key is "
+            "the document identity; dedupe upstream (ingest/upsert do)"
+        )
     mapping = _with_offsets(ranged_keys, offsets).select(*_KEYS, "doc_id")
-    out = corpus.join(F.broadcast(mapping), list(_KEYS))
+    # null-safe equi-join: a NULL key column must not silently drop the
+    # row from the index (inner equi-join semantics) — it ranked and got
+    # a doc_id like any other row.
+    cond = None
+    for c in _KEYS:
+        e = corpus[c].eqNullSafe(mapping[c])
+        cond = e if cond is None else cond & e
+    out = corpus.join(F.broadcast(mapping), cond).drop(
+        *[mapping[c] for c in _KEYS]
+    )
     if persist_output:
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
         out._ctse_persisted = _CacheHandle([out, ranged_keys])
@@ -203,9 +222,13 @@ def _make_doc_len_col(mode: str):
         # one string — no per-token java.lang.String, which made the
         # regexp_extract_all form ~1.6 ms/doc), then count markers with
         # the char-map translate.  After the replace no original alnum
-        # char survives, so every '\x01' is exactly one token.
+        # char survives, so every '\x01' is exactly one token — provided
+        # no LITERAL \x01 was already in the content (it's a separator to
+        # the tokenizer, not a token), so remap those to another
+        # separator first (1:1 translate keeps token boundaries intact).
         collapsed = F.regexp_replace(
-            F.col("content"), r"(?i)[a-z0-9]+", "\x01"
+            F.translate(F.col("content"), "\x01", " "),
+            r"(?i)[a-z0-9]+", "\x01"
         )
         return (
             F.length(collapsed) - F.length(F.translate(collapsed, "\x01", ""))

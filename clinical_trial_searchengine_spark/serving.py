@@ -50,9 +50,11 @@ class BatchingSearchServer:
 
     Parameters
     ----------
-    engine:       warmed SearchEngine (call ``engine.warm()`` first —
-                  the dispatcher submits jobs from one thread, so the
-                  engine's lazily-built IndexHandle is safe).
+    engine:       warmed SearchEngine (call ``engine.warm()`` first).
+                  The engine's lazily-built IndexHandle is resolved
+                  eagerly at construction — with ``max_inflight`` > 1
+                  batches run on concurrent pool threads, so the handle
+                  must exist before any of them race to build it.
     max_batch:    cap on queries folded into one Spark job.  Keeps the
                   batch kernel's per-task score-vector working set
                   bounded (one float64 vector per query per shard).
@@ -81,6 +83,7 @@ class BatchingSearchServer:
         from concurrent.futures import ThreadPoolExecutor
 
         self.engine = engine
+        engine.handle()  # resolve once, before any pool thread can race
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._queue: list[_Request] = []

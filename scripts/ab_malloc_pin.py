@@ -26,8 +26,7 @@ _ORIG_SUBMIT = cs._submit_cmd
 
 def submit_no_pin(n_execs, tail):
     cmd = _ORIG_SUBMIT(n_execs, tail)
-    out = [a for a in cmd if not a.startswith("spark.executorEnv.MALLOC")]
-    # drop the now-orphaned "--conf" flags that preceded the removed args
+    # drop MALLOC conf pairs ("--conf spark.executorEnv.MALLOC...=v")
     cleaned = []
     skip = False
     for i, a in enumerate(cmd):

@@ -49,7 +49,10 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entry.queries()
-    oracles = entry.oracle_sql()
+    try:
+        oracles = entry.oracle_sql(sf_dir)
+    except TypeError:
+        oracles = entry.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -492,9 +492,16 @@ def _load_qcells() -> dict:
         with open(QHIST) as f:
             cells = json.load(f)
     # migrate pre-serving-mode keys ("1:200000" = per_query concurrent)
+    _migrate_qcell_keys(cells)
+    return cells
+
+
+def _migrate_qcell_keys(cells: dict) -> None:
+    """Pre-serving-mode key migration ("1:200000" -> "per_query:1:200000")
+    — shared by the harvester and the baseline generator so the two can
+    never disagree on cell identity."""
     for key in [k for k in cells if k.count(":") == 1]:
         cells.setdefault(f"per_query:{key}", cells.pop(key))
-    return cells
 
 
 def merge_query(got: dict) -> None:
@@ -511,16 +518,28 @@ def merge_query(got: dict) -> None:
                 for n in got["walls"]
             }
             small, big = got["sizes"]
+            d_wall = walls[str(big)] - walls[str(small)]
+            if d_wall <= 0:
+                # per-size minima taken in different windows can cross
+                # (big's lucky wall <= small's): the fixed-cost-cancelling
+                # pairing is broken, so keep the best SINGLE-window pair
+                # (the incoming cell if its own marginal beats the stored
+                # one) rather than recording a bogus/NaN merged marginal.
+                if got["marginal_qps"] > prev["marginal_qps"]:
+                    cells[key] = got
+                return _save_qcells(cells)
             got = {
                 **got,
                 "walls": {n: round(w, 3) for n, w in walls.items()},
-                "marginal_qps": round(
-                    (big - small)
-                    / (walls[str(big)] - walls[str(small)]), 2),
+                "marginal_qps": round((big - small) / d_wall, 2),
             }
         cells[key] = got
     elif prev is None or got["qps"] > prev["qps"]:
         cells[key] = got
+    _save_qcells(cells)
+
+
+def _save_qcells(cells: dict) -> None:
     os.makedirs(os.path.dirname(QHIST), exist_ok=True)
     with open(QHIST, "w") as f:
         json.dump(cells, f, indent=1)

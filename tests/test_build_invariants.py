@@ -285,3 +285,55 @@ def test_fused_build_identical_to_classic(spark, small_corpus_df, tmp_path):
                 ), f"{sub}.{col}"
             else:
                 assert a[col].equals(b[col]), f"{sub}.{col}"
+
+
+def test_doc_len_ignores_literal_control_chars(spark):
+    """The fused standard-mode doc_len expression must equal the
+    tokenizer's count even when content contains a literal \\x01 (the
+    marker char) — it is a separator to the analyzer, not a token."""
+    from clinical_trial_searchengine_spark.functions.analysis import (
+        analyze_batch,
+    )
+    from clinical_trial_searchengine_spark.plans.build import (
+        _make_doc_len_col,
+    )
+    import pandas as pd
+
+    texts = [
+        "foo\x01bar",              # marker inside: 2 tokens, not 3
+        "\x01\x01",                # only markers: 0 tokens
+        "plain text here",         # control
+        "a\x01b c\x01\x01d",       # interleaved
+        "",
+    ]
+    _, expected = analyze_batch(pd.Series(texts), "standard")
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    got = [r[0] for r in df.select(_make_doc_len_col("standard")).collect()]
+    assert got == list(expected)
+
+
+def test_assign_doc_ids_null_keys_and_duplicate_guard(spark):
+    """NULL key columns must not silently drop rows (null-safe mapping
+    join), and duplicate (repo,path,commit) keys must raise instead of
+    m x n-exploding the mapping join."""
+    rows = [
+        ("r1", "a.py", "c1", "py", "alpha"),
+        ("r1", "b.py", None, "py", "bravo"),   # NULL commit
+        (None, "c.py", "c2", "py", "charlie"),  # NULL repo
+        ("r2", "d.py", "c3", "py", "delta"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = assign_doc_ids(df).select("doc_id", "content").collect()
+    assert len(out) == 4  # nothing dropped
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3]  # dense
+
+    dup = spark.createDataFrame(
+        [rows[0], rows[0], rows[3]],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        assign_doc_ids(dup)
