@@ -105,9 +105,22 @@ def varint_decode_prefix(buf: bytes, count: int, offset: int = 0):
 
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = BLOCK_SIZE
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+    codec: str = "varint",
 ) -> tuple[bytes, int]:
-    """Encode sorted unique doc_ids + tfs. Returns (bytes, n_blocks)."""
+    """Encode sorted unique doc_ids + tfs. Returns (bytes, n_blocks).
+
+    ``codec``: "varint" (wire v1) or "pfor" (wire v2, NewPFD patched
+    bit-packing — see :mod:`.pfor`).  Decode auto-detects per buffer, so
+    segments of different codecs coexist in one index."""
+    if codec == "pfor":
+        from clinical_trial_searchengine_spark.functions.pfor import (
+            encode_postings_pfor,
+        )
+
+        return encode_postings_pfor(doc_ids, tfs, block_size)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     n = doc_ids.size
@@ -122,8 +135,21 @@ def encode_postings(
     return bufs[0], int(n_blocks[0])
 
 
+def _peek_version(buf: bytes) -> int:
+    """Wire version of a postings buffer (1 = varint, 2 = pfor).  The
+    version varint is a single byte for all defined versions."""
+    return buf[0] & 0x7F
+
+
 def decode_postings(buf: bytes, block_size: int = BLOCK_SIZE):
-    """Full decode. Returns (doc_ids uint64[n], tfs int64[n])."""
+    """Full decode (any wire version). Returns (doc_ids uint64[n],
+    tfs int64[n])."""
+    if _peek_version(buf) == 2:
+        from clinical_trial_searchengine_spark.functions.pfor import (
+            decode_postings_pfor,
+        )
+
+        return decode_postings_pfor(buf, block_size)
     vals = varint_decode(buf)
     version, n, n_blocks = int(vals[0]), int(vals[1]), int(vals[2])
     assert version == _VERSION, f"bad postings version {version}"
@@ -157,9 +183,12 @@ def decode_directory(buf: bytes):
 
     Returns (n, firsts uint64[b], max_tfs int64[b], payload_nbytes int64[b],
     payload_offsets int64[b] — absolute byte offsets of each block payload).
+
+    The header + directory layout is shared by wire v1 (varint) and v2
+    (pfor), so WAND's skip decisions are codec-agnostic.
     """
     (version, n, n_blocks), off = varint_decode_prefix(buf, 3)
-    assert version == _VERSION
+    assert version in (_VERSION, 2), f"bad postings version {version}"
     dir_vals, off = varint_decode_prefix(buf, 3 * n_blocks, off)
     dv = np.asarray(dir_vals, dtype=np.uint64).reshape(-1, 3) if n_blocks else np.empty((0, 3), dtype=np.uint64)
     firsts = np.cumsum(dv[:, 0])
@@ -179,6 +208,10 @@ def decode_block(
     block_size: int = BLOCK_SIZE,
 ):
     """Decode a single block selected via :func:`decode_directory`."""
+    if _peek_version(buf) == 2:
+        return decode_blocks(
+            buf, [block_idx], n, firsts, nbytes, offsets, block_size
+        )
     lo = block_idx * block_size
     bs = min(block_size, n - lo)
     o = int(offsets[block_idx])
@@ -204,6 +237,14 @@ def decode_blocks(
     over the concatenated payloads is a single vectorized call — this is
     the selective-decode primitive for block-skip pruning.
     """
+    if _peek_version(buf) == 2:
+        from clinical_trial_searchengine_spark.functions.pfor import (
+            decode_blocks_pfor,
+        )
+
+        return decode_blocks_pfor(
+            buf, idxs, n, firsts, nbytes, offsets, block_size
+        )
     idxs = np.asarray(list(idxs), dtype=np.int64)
     if idxs.size == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
@@ -238,6 +279,7 @@ def encode_postings_group(
     tfs: np.ndarray,
     bounds: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    codec: str = "varint",
 ) -> tuple[list[bytes], np.ndarray]:
     """Encode MANY terms' posting lists in one vectorized pass.
 
@@ -252,6 +294,12 @@ def encode_postings_group(
     time on corpora with huge vocabularies (every doc contributes unique
     identifiers, so most posting lists are a single short block).
     """
+    if codec == "pfor":
+        from clinical_trial_searchengine_spark.functions.pfor import (
+            encode_postings_group_pfor,
+        )
+
+        return encode_postings_group_pfor(doc_ids, tfs, bounds, block_size)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     bounds = np.asarray(bounds, dtype=np.int64)

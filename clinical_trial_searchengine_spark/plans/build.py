@@ -325,7 +325,8 @@ def make_tokenize_pairs_kernel_arrow(mode: str, emit_doc_len: bool = False):
     return kernel
 
 
-def _encode_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _encode_bucket_group(pdf: pd.DataFrame,
+                         codec: str = "varint") -> pd.DataFrame:
     """Encode every term inside one (shard, term_bucket, salt) group.
 
     Sort once by (term, doc_id), then slice per term — NumPy throughout.
@@ -347,7 +348,8 @@ def _encode_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # (byte-identical to per-term encode_postings — property-tested in
     # tests/test_codec.py; measured 6x faster than the per-term loop, which
     # pays small-array numpy overhead once per term)
-    out_post, out_nb = encode_postings_group(doc_ids, tfs, bounds)
+    out_post, out_nb = encode_postings_group(doc_ids, tfs, bounds,
+                                             codec=codec)
     return pd.DataFrame(
         {
             "shard": np.full(len(change), shard, dtype=np.int32),
@@ -361,7 +363,7 @@ def _encode_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _encode_bucket_group_arrow(table):
+def _encode_bucket_group_arrow(table, codec: str = "varint"):
     """applyInArrow twin of :func:`_encode_bucket_group` — the default
     encode path.  Same output rows in the same (term-ascending) order,
     property-tested; the win is that the group's term column never becomes
@@ -396,7 +398,8 @@ def _encode_bucket_group_arrow(table):
         np.concatenate(([True], ranked[1:] != ranked[:-1]))
     )
     bounds = np.concatenate((change, [len(ranked)]))
-    out_post, out_nb = encode_postings_group(doc_ids, tfs, bounds)
+    out_post, out_nb = encode_postings_group(doc_ids, tfs, bounds,
+                                             codec=codec)
     n_out = len(change)
     return pa.table(
         {
@@ -413,7 +416,17 @@ def _encode_bucket_group_arrow(table):
     )
 
 
-def _make_merge_runs_kernel():
+def _make_encode_bucket_group_arrow(codec: str = "varint"):
+    """Closure wrapper for applyInArrow (which introspects the callable, so
+    a functools.partial won't do)."""
+
+    def _encode(table):
+        return _encode_bucket_group_arrow(table, codec)
+
+    return _encode
+
+
+def _make_merge_runs_kernel(codec: str = "varint"):
     """mapInArrow kernel that merges salted runs INLINE in the write pass.
 
     Input rows (shard, term, salt, n_postings, cf_local, n_blocks, postings)
@@ -487,7 +500,9 @@ def _make_merge_runs_kernel():
             ids_all = np.concatenate(ids_parts)
             tf_all = np.concatenate(tf_parts).astype(np.uint64)
             morder = np.argsort(ids_all)
-            buf, n_blocks = encode_postings(ids_all[morder], tf_all[morder])
+            buf, n_blocks = encode_postings(
+                ids_all[morder], tf_all[morder], codec=codec
+            )
             # cast to the pass-through slices' exact schema — mapInArrow
             # requires every yielded batch to share one schema
             yield pa.table(
@@ -647,8 +662,15 @@ def build_index(
     pre_assigned: bool = False,
     pre_tokenized: DataFrame | None = None,
     pairs_storage: str = "none",
+    postings_codec: str = "varint",
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics dict.
+
+    ``postings_codec``: "varint" (wire v1) or "pfor" (wire v2, NewPFD
+    patched bit-packing — functions/pfor.py).  Query-side decode
+    auto-detects the version per buffer, so generations built with
+    different codecs coexist; the choice is recorded in meta.json and
+    incremental appends inherit it.
 
     Pass structure (minimal — each pass over the corpus is a real cost at
     10^12 docs):
@@ -1021,7 +1043,9 @@ def build_index(
         encoded = (
             salted.repartition(n_encode_parts, "shard", "bucket", "salt")
             .groupBy("shard", "bucket", "salt")
-            .applyInArrow(_encode_bucket_group_arrow, enc_schema)
+            .applyInArrow(
+                _make_encode_bucket_group_arrow(postings_codec), enc_schema
+            )
         )
 
         merge_schema = (
@@ -1062,7 +1086,9 @@ def build_index(
                     F.pmod(F.xxhash64("term"), F.lit(term_buckets)),
                 )
                 .sortWithinPartitions("shard", "term", "salt")
-                .mapInArrow(_make_merge_runs_kernel(), merge_schema)
+                .mapInArrow(
+                    _make_merge_runs_kernel(postings_codec), merge_schema
+                )
                 .withColumn("group", F.col("shard") % n_groups)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -1177,6 +1203,7 @@ def build_index(
         "max_salts": max_salts,
         "n_resume_groups": n_groups,
         "term_buckets": term_buckets,
+        "postings_codec": postings_codec,
     }
     seg.write_meta(index_dir, meta)
     meta["build_seconds"] = time.time() - t0

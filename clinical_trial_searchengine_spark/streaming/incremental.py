@@ -132,8 +132,12 @@ def incremental_index(
         # doc_ids reassigned globally (runs even with zero new docs)
         import shutil
 
+        rebuild_kwargs = dict(build_kwargs)
+        rebuild_kwargs.setdefault(
+            "postings_codec", meta.get("postings_codec", "varint")
+        )
         shutil.rmtree(index_dir)
-        out = build_index(spark, corpus, index_dir, **build_kwargs)
+        out = build_index(spark, corpus, index_dir, **rebuild_kwargs)
         seg.write_generations(
             index_dir,
             [{"gen": 0, "num_docs": int(out["num_docs"]), "base": 0}],
@@ -176,6 +180,9 @@ def _append_generation(spark, new, index_dir, meta, gens, gen_k, n_new,
     forced = dict(build_kwargs)
     for key in ("mode", "shard_size", "k1", "b", "norm_chunk"):
         forced[key] = meta[key]
+    # appended generations keep the base index's wire codec (decode is
+    # version-dispatched, so this is consistency, not correctness)
+    forced["postings_codec"] = meta.get("postings_codec", "varint")
     out = build_index(
         spark, new, seg.gen_dir(index_dir, gen_k), **forced
     )
