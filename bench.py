@@ -169,7 +169,43 @@ def main() -> None:
             cells.append(time.time() - t0)
         queries[f"kernel_{kern}_6q"] = round(min(cells), 3)
 
-    # -- 2c. concurrent serving throughput (round 4) --------------------------
+    # -- 2c. postings codec cells: varint (wire v1) vs PForDelta (wire v2) --
+    # The 200 densest posting lists of the just-built index are transcoded
+    # to BOTH codecs driver-side and full-decoded min-of-3 — standing size
+    # + decode-throughput evidence for the default-codec choice (the build
+    # default is pfor; decode version-dispatches per buffer).
+    from clinical_trial_searchengine_spark.functions.codec import (
+        decode_postings,
+        encode_postings,
+    )
+
+    hot_rows = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .orderBy(F.col("n_postings").desc())
+        .limit(200)
+        .select("postings")
+        .collect()
+    )
+    hot_decoded = [decode_postings(bytes(r["postings"])) for r in hot_rows]
+    n_hot_postings = sum(len(d) for d, _ in hot_decoded)
+    codec_bytes_per_posting: dict[str, float] = {}
+    for c in ("varint", "pfor"):
+        bufs = [
+            encode_postings(d, t.astype("uint64"), codec=c)[0]
+            for d, t in hot_decoded
+        ]
+        codec_bytes_per_posting[c] = round(
+            sum(len(b) for b in bufs) / max(1, n_hot_postings), 3
+        )
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            for b in bufs:
+                decode_postings(b)
+            walls.append(time.time() - t0)
+        queries[f"codec_{c}_decode_200hot"] = round(min(walls), 4)
+
+    # -- 2d. concurrent serving throughput (round 4) --------------------------
     # 16 driver threads fire the 20-query set x3 at the warmed index through
     # (a) per-query jobs and (b) the adaptive micro-batching server — the
     # serving surface; qps is reported so round-over-round JSONs track the
@@ -246,6 +282,8 @@ def main() -> None:
         "query_noise_rel_spread": round(statistics.median(spreads), 4),
         "cpus": cpus,
         "serving_qps_16threads": serving_qps,
+        "postings_codec": build_meta.get("postings_codec", "pfor"),
+        "codec_bytes_per_posting": codec_bytes_per_posting,
         "build_stage_sec": build_meta.get("stage_seconds", {}),
     }
     print(json.dumps(result))

@@ -173,12 +173,13 @@ def _unpack_family(windows: np.ndarray, region_start: np.ndarray,
     masked off (shift <= 7 + width <= 39 < 64, so 8 bytes always cover it).
     ``blk`` indexes into region_start/b_blk (block-local arrays).
     """
-    b_row = b_blk[blk]
-    o = pos * b_row
+    o = pos * b_blk[blk]
     addr = region_start[blk] + (o >> 3)
     word = np.ascontiguousarray(windows[addr]).view(np.uint64).ravel()
-    mask = (np.uint64(1) << b_row.astype(np.uint64)) - np.uint64(1)
-    return (word >> (o & 7).astype(np.uint64)) & mask
+    # per-BLOCK masks gathered per row (blocks are tiny next to rows —
+    # one gather beats a million-element shift+subtract)
+    mask_blk = (np.uint64(1) << b_blk.astype(np.uint64)) - np.uint64(1)
+    return (word >> (o & 7).astype(np.uint64)) & mask_blk[blk]
 
 
 # ---------------------------------------------------------------------------

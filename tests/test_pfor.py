@@ -156,11 +156,12 @@ def test_pfor_smaller_than_varint_on_dense_lists():
 def test_pfor_index_rank_identical_and_inherited(
     spark, small_corpus_df, built_index, tmp_path_factory
 ):
-    """Full-stack: a pfor-coded index returns EXACTLY the varint index's
-    ranked (doc_id, score) rows on the reference query set — through both
-    the exhaustive and the block-skipping pruned kernels (selective decode
-    exercises the shared directory) — and an incremental append inherits
-    the codec from meta.json."""
+    """Full-stack cross-codec identity: an explicitly varint-coded index
+    returns EXACTLY the default (pfor) index's ranked (doc_id, score) rows
+    on the reference query set — through both the exhaustive and the
+    block-skipping pruned kernels (selective decode exercises the shared
+    directory) — and an incremental append inherits its codec from
+    meta.json."""
     import shutil
 
     from clinical_trial_searchengine_spark.engine import SearchEngine
@@ -172,7 +173,8 @@ def test_pfor_index_rank_identical_and_inherited(
         incremental_index,
     )
 
-    d = str(tmp_path_factory.mktemp("idx_pfor") / "standard")
+    assert seg.read_meta(built_index.index_dir)["postings_codec"] == "pfor"
+    d = str(tmp_path_factory.mktemp("idx_varint") / "standard")
     try:
         eng = SearchEngine(spark, d)
         meta = eng.build(
@@ -183,10 +185,10 @@ def test_pfor_index_rank_identical_and_inherited(
             max_salts=4,
             n_resume_groups=2,
             norm_chunk=16,
-            postings_codec="pfor",
+            postings_codec="varint",
         )
-        assert meta["postings_codec"] == "pfor"
-        assert seg.read_meta(d)["postings_codec"] == "pfor"
+        assert meta["postings_codec"] == "varint"
+        assert seg.read_meta(d)["postings_codec"] == "varint"
         for q in reference_queries():
             exp = built_index.search_topk_rows(q["text"], q["k"])
             got = eng.search_topk_rows(q["text"], q["k"])
@@ -195,7 +197,8 @@ def test_pfor_index_rank_identical_and_inherited(
                 q["text"], q["k"], kernel="pruned"
             )
             assert exp == got_pruned, q["query_id"] + "/pruned"
-        # postings parquet is smaller under pfor (bit-packed frames)
+        # postings parquet is smaller under pfor (bit-packed frames):
+        # the default-codec fixture index beats this varint twin
         import glob
         import os
 
@@ -208,22 +211,24 @@ def test_pfor_index_rank_identical_and_inherited(
                 )
             )
 
-        assert _psize(d) < _psize(built_index.index_dir)
+        assert _psize(built_index.index_dir) < _psize(d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
-    # incremental append inherits pfor from the base meta
-    d2 = str(tmp_path_factory.mktemp("idx_pfor_inc") / "inc")
+    # incremental append inherits the BASE meta's codec (varint here —
+    # deliberately the non-default, so inheritance is distinguishable
+    # from the build default)
+    d2 = str(tmp_path_factory.mktemp("idx_varint_inc") / "inc")
     try:
         pdf = small_corpus_df.toPandas()
         part = spark.createDataFrame(pdf.iloc[:150])
         incremental_index(
-            spark, part, d2, shard_size=48, postings_codec="pfor"
+            spark, part, d2, shard_size=48, postings_codec="varint"
         )
         full = spark.createDataFrame(pdf)
         incremental_index(spark, full, d2, shard_size=48)
         gen_meta = seg.read_meta(seg.gen_dir(d2, 1))
-        assert gen_meta["postings_codec"] == "pfor"
+        assert gen_meta["postings_codec"] == "varint"
         eng2 = SearchEngine(spark, d2)
         for q in reference_queries()[:5]:
             # doc_ids are assigned per-generation here, so equal-score ties
