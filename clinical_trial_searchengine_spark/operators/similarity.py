@@ -121,10 +121,35 @@ def cosine_knn_join(
     )
 
 
+def lsh_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    """Deterministic hash-derived hyperplane directions, uniform in
+    [-1, 1): ``w[p][d] = int(md5(f"{seed}_{p}_{d}")[:8], 16) / 2^32 * 2 - 1``.
+
+    Every step is EXACT in IEEE double (uint32 -> double, divide by a
+    power of two, scale, shift), so any engine with md5 reproduces the
+    planes bit-for-bit — the driver's DuckDB oracle recomputes them in
+    SQL (``('0x' || substr(md5(...), 1, 8))::UBIGINT``) and verifies the
+    whole bucket -> multiprobe -> re-rank pipeline against Spark.  Uniform
+    cube directions are a standard sign-random-projection family (bucket
+    collision probability still monotone in angular similarity); the
+    recall property test is unchanged.
+    """
+    import hashlib
+
+    w = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()[:8], 16
+            )
+            w[p, d] = h / 4294967296.0 * 2.0 - 1.0
+    return w
+
+
 def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
-    """vec -> LSH bucket id from sign pattern against fixed random planes."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    """vec -> LSH bucket id from sign pattern against fixed hash-derived
+    planes (:func:`lsh_planes`)."""
+    planes = lsh_planes(dim, n_planes, seed)
 
     @F.pandas_udf("long")
     def _bucket(vecs: pd.Series) -> pd.Series:
@@ -145,14 +170,16 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     seed: int = 42,
     multiprobe_hamming: int = 1,
+    round_to: int = 6,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane bucket + multiprobe
     (buckets within hamming distance of the query's bucket), exact re-rank
     on candidates.  At 100 TB the bucket column is precomputed + partitioned
-    on, so a query scans only matching partitions."""
+    on, so a query scans only matching partitions.  Planes are the
+    hash-derived :func:`lsh_planes` family, so the whole pipeline is
+    engine-reproducible (DuckDB-oracled in the driver gate)."""
     dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = lsh_planes(dim, n_planes, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     qbits = (planes @ q) > 0
     qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
@@ -163,7 +190,7 @@ def cosine_topk_lsh(
         "_bucket", hyperplane_bucket_udf(dim, n_planes, seed)(F.col(vec_col))
     )
     cands = bucketed.where(F.col("_bucket").isin(probe))
-    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+    return cosine_topk(cands, query_vec, k, id_col, vec_col, round_to)
 
 
 def build_lsh_index(
@@ -217,8 +244,7 @@ def lsh_probe_buckets(
     """Bucket ids to scan for a query: its own bucket + all within the given
     hamming distance (same probe set as :func:`cosine_topk_lsh`)."""
     n_planes = int(meta["n_planes"])
-    rng = np.random.default_rng(int(meta["seed"]))
-    planes = rng.standard_normal((n_planes, int(meta["dim"])))
+    planes = lsh_planes(int(meta["dim"]), n_planes, int(meta["seed"]))
     q = np.asarray(query_vec, dtype=np.float64)
     qbits = (planes @ q) > 0
     qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
