@@ -54,6 +54,19 @@ class SearchEngine:
         self._handle = None
         return upsert_index(self.spark, corpus, self.index_dir, **kwargs)
 
+    def transcode(self, postings_codec: str) -> dict:
+        """Rewrite the postings (base + every delta generation) in another
+        wire codec — varint (v1) <-> pfor (v2) — without re-tokenizing:
+        one partition-preserving decode->re-encode pass + atomic dir swap
+        (plans/segments.transcode_postings).  Queries work mid-migration:
+        decode version-dispatches per buffer."""
+        from clinical_trial_searchengine_spark.plans.segments import (
+            transcode_postings,
+        )
+
+        self._handle = None  # postings bytes changed
+        return transcode_postings(self.spark, self.index_dir, postings_codec)
+
     def delete_documents(self, keys: DataFrame) -> dict:
         """Tombstone every doc matching ``keys`` (repo, path)."""
         from clinical_trial_searchengine_spark.streaming.incremental import (

@@ -30,6 +30,14 @@ import numpy as np
 BLOCK_SIZE = 128
 _VERSION = 1
 
+# codec="adaptive": per-TERM wire choice — lists shorter than this stay
+# varint (a pfor frame pays a fixed 6-byte block subheader + wider header,
+# which loses on the singleton-heavy vocabulary tail of a code corpus),
+# longer lists get pfor's bit-packed frames.  The measured byte crossover
+# is ~5-6 postings for typical gap/tf widths; 8 keeps a margin.  Decode is
+# version-dispatched per buffer, so mixing costs nothing anywhere.
+ADAPTIVE_PFOR_MIN = 8
+
 
 # ---------------------------------------------------------------------------
 # Vectorized varint (LEB128, 7-bit groups, high bit = continuation)
@@ -112,9 +120,15 @@ def encode_postings(
 ) -> tuple[bytes, int]:
     """Encode sorted unique doc_ids + tfs. Returns (bytes, n_blocks).
 
-    ``codec``: "varint" (wire v1) or "pfor" (wire v2, NewPFD patched
-    bit-packing — see :mod:`.pfor`).  Decode auto-detects per buffer, so
-    segments of different codecs coexist in one index."""
+    ``codec``: "varint" (wire v1), "pfor" (wire v2, NewPFD patched
+    bit-packing — see :mod:`.pfor`), or "adaptive" (per-term: varint under
+    ``ADAPTIVE_PFOR_MIN`` postings, pfor above).  Decode auto-detects per
+    buffer, so segments of different codecs coexist in one index."""
+    if codec == "adaptive":
+        codec = (
+            "pfor" if np.asarray(doc_ids).size >= ADAPTIVE_PFOR_MIN
+            else "varint"
+        )
     if codec == "pfor":
         from clinical_trial_searchengine_spark.functions.pfor import (
             encode_postings_pfor,
@@ -294,6 +308,10 @@ def encode_postings_group(
     time on corpora with huge vocabularies (every doc contributes unique
     identifiers, so most posting lists are a single short block).
     """
+    if codec == "adaptive":
+        return _encode_postings_group_adaptive(
+            doc_ids, tfs, bounds, block_size
+        )
     if codec == "pfor":
         from clinical_trial_searchengine_spark.functions.pfor import (
             encode_postings_group_pfor,
@@ -379,3 +397,46 @@ def encode_postings_group(
     mv = memoryview(blob)
     out = [bytes(mv[int(s):int(e)]) for s, e in zip(term_byte_start, term_byte_end)]
     return out, B_t.astype(np.int64)
+
+
+def _encode_postings_group_adaptive(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    bounds: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[list[bytes], np.ndarray]:
+    """Route each term to the byte-cheaper wire format: varint below
+    ``ADAPTIVE_PFOR_MIN`` postings (the singleton-heavy vocabulary tail),
+    pfor frames at or above it (the dense hot terms, where bit packing
+    wins on size AND group-encode speed).  Two sub-group encodes, outputs
+    interleaved back into the caller's term order; byte-identical to
+    calling :func:`encode_postings` per term with codec="adaptive"."""
+    from clinical_trial_searchengine_spark.functions.pfor import (
+        encode_postings_group_pfor,
+    )
+
+    bounds = np.asarray(bounds, dtype=np.int64)
+    n_t = np.diff(bounds)
+    T = n_t.size
+    use_pfor = n_t >= ADAPTIVE_PFOR_MIN
+    if not use_pfor.any() or use_pfor.all():
+        codec = "pfor" if T and use_pfor.all() else "varint"
+        return encode_postings_group(doc_ids, tfs, bounds, block_size, codec)
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    out_bufs: list[bytes | None] = [None] * T
+    out_blocks = np.empty(T, dtype=np.int64)
+    row_mask_pfor = np.repeat(use_pfor, n_t)
+    for mask, codec in ((use_pfor, "pfor"), (~use_pfor, "varint")):
+        idx = np.flatnonzero(mask)
+        if not idx.size:
+            continue
+        sel = row_mask_pfor if codec == "pfor" else ~row_mask_pfor
+        sub_bounds = np.concatenate(([0], np.cumsum(n_t[idx])))
+        bufs, nb = encode_postings_group(
+            doc_ids[sel], tfs[sel], sub_bounds, block_size, codec
+        )
+        for j, t in enumerate(idx):
+            out_bufs[t] = bufs[j]
+        out_blocks[idx] = nb
+    return out_bufs, out_blocks

@@ -667,14 +667,17 @@ def build_index(
     """Build (or resume) the full index. Returns build metrics dict.
 
     ``postings_codec``: "pfor" (default; wire v2, NewPFD patched
-    bit-packing — functions/pfor.py) or "varint" (wire v1).  Query-side
-    decode auto-detects the version per buffer, so generations built with
-    different codecs coexist; the choice is recorded in meta.json and
-    incremental appends inherit it.  Measured at sf0.1/local[32]: pfor
-    postings are 15% smaller and the postings_write stage 18% faster
-    (8.1 -> 6.6 s) than varint, with query latency unchanged-or-better
-    (smaller scans; steady-state decode is served by the contribution
-    cache either way).
+    bit-packing — functions/pfor.py), "varint" (wire v1), or "adaptive"
+    (per-term routing: varint below codec.ADAPTIVE_PFOR_MIN postings,
+    pfor above — smallest bytes, measured ~4% under pure pfor on a
+    singleton-heavy vocabulary, at ~30% slower encode; pick it for
+    storage-bound deployments).  Query-side decode auto-detects the
+    version per buffer, so generations built with different codecs
+    coexist; the choice is recorded in meta.json and incremental appends
+    inherit it.  Measured at sf0.1/local[32]: pfor postings are 15%
+    smaller and the postings_write stage 18% faster (8.1 -> 6.6 s) than
+    varint, with query latency unchanged-or-better (smaller scans;
+    steady-state decode is served by the contribution cache either way).
 
     Pass structure (minimal — each pass over the corpus is a real cost at
     10^12 docs):

@@ -238,3 +238,130 @@ def metrics_append(
         }
     )
     _append_rows_parquet(path_of(index_dir, METRICS), table)
+
+
+# ---------------------------------------------------------------------------
+# postings transcoding (wire-codec migration without a rebuild)
+# ---------------------------------------------------------------------------
+
+
+def _make_transcode_kernel(codec: str):
+    """mapInArrow kernel: decode every posting buffer (version-dispatched)
+    and re-encode the whole batch with ``codec`` in ONE vectorized group
+    pass.  Row order, term/cf/n_postings columns, and the group/shard
+    partition columns pass through unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clinical_trial_searchengine_spark.functions.codec import (
+        decode_postings,
+        encode_postings_group,
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            n = len(tbl)
+            if n == 0:
+                continue
+            posts = tbl.column("postings").chunk(0)
+            ids_parts, tf_parts = [], []
+            for j in range(n):
+                d, t = decode_postings(posts[j].as_py())
+                ids_parts.append(d)
+                tf_parts.append(t)
+            bounds = np.concatenate(
+                ([0], np.cumsum([len(p) for p in ids_parts]))
+            ).astype(np.int64)
+            bufs, n_blocks = encode_postings_group(
+                np.concatenate(ids_parts),
+                np.concatenate(tf_parts).astype(np.uint64),
+                bounds,
+                codec=codec,
+            )
+            out = pa.table(
+                {
+                    "term": tbl.column("term"),
+                    "n_postings": tbl.column("n_postings"),
+                    "cf_local": tbl.column("cf_local"),
+                    "n_blocks": pa.array(
+                        n_blocks.astype("int32"), pa.int32()
+                    ),
+                    "postings": pa.array(bufs, pa.binary()),
+                    "shard": tbl.column("shard"),
+                }
+            )
+            yield from out.to_batches()
+
+    return kernel
+
+
+def transcode_postings(
+    spark: SparkSession, index_dir: str, postings_codec: str
+) -> dict:
+    """Rewrite an index's postings in another wire codec WITHOUT a rebuild.
+
+    The 100 TB migration path: no re-tokenize, no shuffle — one
+    partition-preserving decode->re-encode pass over the postings parquet
+    (the only shard-local sort is restoring within-file term order so
+    parquet min/max row-group pruning keeps working), then an atomic
+    directory swap.  Applies to the base segment set and every delta
+    generation; norms/doc_meta/term_stats are codec-independent and
+    untouched.  Queries need no migration step at all — decode
+    version-dispatches per buffer, so even a half-migrated index (e.g.
+    resuming after a crash between generations) serves correctly.
+
+    Returns {"dirs": n, "rows": n, "codec": codec}.
+    """
+    import shutil
+
+    assert postings_codec in ("varint", "pfor", "adaptive"), postings_codec
+    roots = [index_dir]
+    gens = read_generations(index_dir) or []
+    roots += [
+        gen_dir(index_dir, int(g["gen"])) for g in gens if int(g["gen"]) > 0
+    ]
+    total_rows = 0
+    for root in roots:
+        meta = read_meta(root)
+        src = path_of(root, POSTINGS)
+        tmp = src + "__transcode_tmp"
+        bak = src + "__transcode_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(bak, ignore_errors=True)
+        df = spark.read.parquet(src)
+        n_groups = int(meta.get("n_resume_groups", 1))
+        schema = (
+            "term string, n_postings long, cf_local long, "
+            "n_blocks int, postings binary, shard int"
+        )
+        out = (
+            df.select(
+                "term", "n_postings", "cf_local", "n_blocks", "postings",
+                "shard",
+            )
+            # restore within-task term order BEFORE the kernel (which is
+            # order-preserving): a read task may concatenate several source
+            # files with interleaved term ranges; without this local sort
+            # the rewritten files lose the per-file term min/max tightness
+            # the query scan's row-group skip relies on.  (Operating on the
+            # kernel OUTPUT instead trips Spark's ArrowColumnVector row
+            # accessor on the binary column — UNSUPPORTED_CALL getBinary —
+            # which is also why `group` is recomputed below via withColumn,
+            # the same row-projection pattern the build's write uses.)
+            .sortWithinPartitions("shard", "term")
+            .mapInArrow(_make_transcode_kernel(postings_codec), schema)
+            .withColumn("group", F.col("shard") % n_groups)
+        )
+        out.write.mode("overwrite").partitionBy("group", "shard").parquet(tmp)
+        total_rows += int(spark.read.parquet(tmp).count())
+        os.rename(src, bak)
+        os.rename(tmp, src)
+        shutil.rmtree(bak)
+        meta["postings_codec"] = postings_codec
+        write_meta(root, meta)
+    return {
+        "dirs": len(roots),
+        "rows": total_rows,
+        "codec": postings_codec,
+    }

@@ -239,3 +239,125 @@ def test_pfor_index_rank_identical_and_inherited(
             assert exp == got, q["query_id"]
     finally:
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_transcode_postings_roundtrip(
+    spark, small_corpus_df, built_index, tmp_path_factory
+):
+    """Codec migration without rebuild: varint -> pfor -> varint.
+
+    Checks: identical search results at every step (queries work
+    mid-migration because decode version-dispatches), meta.json tracks the
+    codec, pfor postings are smaller, and the final varint re-encode is
+    ROW-LEVEL BYTE-IDENTICAL to the original buffers (the wire format is
+    deterministic, so decode->encode is lossless).  Also covers delta
+    generations: the transcode walks base + gen=K dirs."""
+    import shutil
+
+    from clinical_trial_searchengine_spark.engine import SearchEngine
+    from clinical_trial_searchengine_spark.plans import segments as seg
+    from clinical_trial_searchengine_spark.sources.corpus import (
+        reference_queries,
+    )
+
+    d = str(tmp_path_factory.mktemp("idx_transcode") / "inc")
+    try:
+        pdf = small_corpus_df.toPandas()
+        eng = SearchEngine(spark, d)
+        eng.add_documents(
+            spark.createDataFrame(pdf.iloc[:150]),
+            shard_size=48,
+            postings_codec="varint",
+        )
+        eng.add_documents(spark.createDataFrame(pdf), shard_size=48)
+
+        def _rows(root):
+            return (
+                spark.read.parquet(seg.path_of(root, seg.POSTINGS))
+                .select("group", "shard", "term", "n_postings", "postings")
+                .toPandas()
+                .sort_values(["group", "shard", "term"])
+                .reset_index(drop=True)
+            )
+
+        before = {q["query_id"]: eng.search_topk_rows(q["text"], q["k"])
+                  for q in reference_queries()[:6]}
+        orig_base = _rows(d)
+        orig_gen1 = _rows(seg.gen_dir(d, 1))
+
+        out = eng.transcode("pfor")
+        assert out["codec"] == "pfor" and out["dirs"] == 2
+        assert seg.read_meta(d)["postings_codec"] == "pfor"
+        assert seg.read_meta(seg.gen_dir(d, 1))["postings_codec"] == "pfor"
+        for qid, exp in before.items():
+            assert eng.search_topk_rows(
+                [q for q in reference_queries() if q["query_id"] == qid][0]
+                ["text"], 10
+            ) is not None  # smoke: serves mid-migration state
+        mid = {q["query_id"]: eng.search_topk_rows(q["text"], q["k"])
+               for q in reference_queries()[:6]}
+        assert mid == before
+        # bit-packed frames win on DENSE lists; tail singleton lists pay
+        # the fixed 6-byte subheader (this 200-doc fixture is nearly all
+        # singletons, so compare the dense subset, not the whole table)
+        pfor_base = _rows(d)
+        dense_o = orig_base[orig_base["n_postings"] >= 32]
+        dense_p = pfor_base[pfor_base["n_postings"] >= 32]
+        assert len(dense_o) > 0
+        assert dense_p["postings"].map(len).sum() < (
+            dense_o["postings"].map(len).sum()
+        )
+
+        eng.transcode("varint")
+        back = {q["query_id"]: eng.search_topk_rows(q["text"], q["k"])
+                for q in reference_queries()[:6]}
+        assert back == before
+        for orig, root in ((orig_base, d), (orig_gen1, seg.gen_dir(d, 1))):
+            got = _rows(root)
+            assert len(got) == len(orig)
+            assert (got["term"].to_numpy() == orig["term"].to_numpy()).all()
+            assert all(
+                bytes(a) == bytes(b)
+                for a, b in zip(got["postings"], orig["postings"])
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_adaptive_codec_routes_per_term():
+    """codec="adaptive": terms below ADAPTIVE_PFOR_MIN stay varint (v1),
+    others get pfor frames (v2); group output is byte-identical to
+    per-term adaptive encodes and decodes transparently."""
+    from clinical_trial_searchengine_spark.functions.codec import (
+        ADAPTIVE_PFOR_MIN,
+    )
+
+    rng = np.random.default_rng(9)
+    sizes = np.concatenate(
+        [rng.integers(1, ADAPTIVE_PFOR_MIN, 30),
+         rng.integers(ADAPTIVE_PFOR_MIN, 900, 20)]
+    )
+    rng.shuffle(sizes)
+    bounds = np.concatenate(([0], np.cumsum(sizes))).astype(np.int64)
+    ids_l, tfs_l = [], []
+    for s in sizes:
+        g = rng.integers(1, 500, s).astype(np.uint64)
+        ids_l.append(np.cumsum(g).astype(np.uint64))
+        tfs_l.append(rng.integers(1, 40, s).astype(np.uint64))
+    ids = np.concatenate(ids_l)
+    tfs = np.concatenate(tfs_l)
+    bufs, nb = encode_postings_group(ids, tfs, bounds, codec="adaptive")
+    for i, s in enumerate(sizes):
+        b1, k1 = encode_postings(ids_l[i], tfs_l[i], codec="adaptive")
+        assert bufs[i] == b1 and nb[i] == k1, i
+        expect_version = 2 if s >= ADAPTIVE_PFOR_MIN else 1
+        assert (bufs[i][0] & 0x7F) == expect_version, (i, s)
+        d, t = decode_postings(bufs[i])
+        assert np.array_equal(d, ids_l[i])
+        assert np.array_equal(t.astype(np.uint64), tfs_l[i])
+    # all-one-side routing degenerates to the pure codecs
+    few = np.array([1, 2, 3], dtype=np.int64)
+    b_small, _ = encode_postings_group(
+        ids_l[0][:3], tfs_l[0][:3], np.array([0, 3]), codec="adaptive"
+    )
+    assert (b_small[0][0] & 0x7F) == 1
