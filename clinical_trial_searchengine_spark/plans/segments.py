@@ -304,8 +304,11 @@ def transcode_postings(
     The 100 TB migration path: no re-tokenize, no shuffle — one
     partition-preserving decode->re-encode pass over the postings parquet
     (the only shard-local sort is restoring within-file term order so
-    parquet min/max row-group pruning keeps working), then an atomic
-    directory swap.  Applies to the base segment set and every delta
+    parquet min/max row-group pruning keeps working), then a two-step
+    directory swap (rename old -> ``postings__transcode_old``, rename new
+    into place, delete old; a crash between the renames leaves the old
+    directory intact under that name for manual restore — each rename is
+    atomic, the pair is not).  Applies to the base segment set and every delta
     generation; norms/doc_meta/term_stats are codec-independent and
     untouched.  Queries need no migration step at all — decode
     version-dispatches per buffer, so even a half-migrated index (e.g.
