@@ -1635,9 +1635,10 @@ WITH keys AS (
 ), syn(key, term, pos) AS (VALUES {vals}),
 j AS (
   SELECT k.doc_id, k.cond_pos, s.pos, s.term,
-         lower(trim(s.term)) AS tl
+         lower(regexp_replace(s.term, '^\\s+|\\s+$', '', 'g')) AS tl
   FROM keys k JOIN syn s ON s.key = k.key
-  WHERE s.pos < 3 AND length(lower(trim(s.term))) > 0
+  WHERE s.pos < 3
+    AND length(regexp_replace(s.term, '^\\s+|\\s+$', '', 'g')) > 0
 ),
 dd AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id, tl
@@ -2131,7 +2132,7 @@ SELECT doc_id AS media_id, 'image' AS kind,
        CAST((length(text) % 300) // 10 + 1 AS BIGINT) AS n_sampled
 FROM documents WHERE doc_id < 50
 """
-    # no oracle (rows-only driver check): ann_cosine_lsh only — its
-    # bucket recall depends on seeded random hyperplanes no SQL engine
-    # reproduces; every other gate above is oracled
+    # every registered gate above is oracled — zero rows-only checks
+    # (the former ann_cosine_lsh rows-only gate was folded into
+    # ann_cosine_topk's oracled lsh variant via hash-derived planes)
     return sqls

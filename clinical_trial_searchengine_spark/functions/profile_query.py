@@ -148,7 +148,14 @@ def expand_query_synonyms_df(
         .select(
             F.col("key").alias("_key"),
             F.col(term_col).alias("term"),
-            F.lower(F.trim(F.col(term_col))).alias("_tl"),
+            # regexp trim, not F.trim: Spark trim strips only ' ' while the
+            # driver rule (expand_query's t.lower().strip()) strips all
+            # whitespace — \s covers the ASCII classes (tab/newline/CR/FF);
+            # non-ASCII unicode whitespace in a dictionary term remains a
+            # documented divergence (out of scope for the shipped dicts)
+            F.lower(
+                F.regexp_replace(F.col(term_col), r"^\s+|\s+$", "")
+            ).alias("_tl"),
             F.col("pos").alias("_pos"),
         )
         .where(F.length("_tl") > 0)

@@ -125,11 +125,19 @@ def lsh_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     """Deterministic hash-derived hyperplane directions, uniform in
     [-1, 1): ``w[p][d] = int(md5(f"{seed}_{p}_{d}")[:8], 16) / 2^32 * 2 - 1``.
 
-    Every step is EXACT in IEEE double (uint32 -> double, divide by a
-    power of two, scale, shift), so any engine with md5 reproduces the
-    planes bit-for-bit — the driver's DuckDB oracle recomputes them in
-    SQL (``('0x' || substr(md5(...), 1, 8))::UBIGINT``) and verifies the
-    whole bucket -> multiprobe -> re-rank pipeline against Spark.  Uniform
+    Every step in deriving the WEIGHTS is EXACT in IEEE double (uint32 ->
+    double, divide by a power of two, scale, shift), so any engine with
+    md5 reproduces the plane weights bit-for-bit — the driver's DuckDB
+    oracle recomputes them in SQL
+    (``('0x' || substr(md5(...), 1, 8))::UBIGINT``) and verifies the
+    whole bucket -> multiprobe -> re-rank pipeline against Spark.  The
+    sign BUCKETS are one further step removed: they come from dot
+    products whose summation order differs between NumPy matmul and a
+    SQL SUM aggregate, so a projection within a few ulps of zero could
+    in principle flip a bit between the two engines.  The gate corpus is
+    guarded against that (tests assert min |projection| over the test
+    embeddings is orders of magnitude above ulp scale), which is what
+    makes the end-to-end oracle stable in practice.  Uniform
     cube directions are a standard sign-random-projection family (bucket
     collision probability still monotone in angular similarity); the
     recall property test is unchanged.

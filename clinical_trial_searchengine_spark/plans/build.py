@@ -435,7 +435,7 @@ def _make_merge_runs_kernel(codec: str = "varint"):
     sub-ranges and/or map-side per-partition runs — and are merged: decode
     all, argsort the concatenated doc_ids (unique per term, so the order is
     total and deterministic), re-encode; byte-identical to an unsalted
-    single encode (same property the old ``_merge_group`` path tested,
+    single encode (same property the retired pandas merge path tested,
     and independent of how the runs were produced).  Everything else — the
     overwhelming majority — passes through as ZERO-COPY Arrow table slices:
     run boundaries are found with vectorized ``pyarrow.compute`` adjacent
@@ -548,45 +548,6 @@ def _make_merge_runs_kernel(codec: str = "varint"):
                 yield from out.to_batches()
 
     return kernel
-
-
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Merge salted runs of one (shard, term): decode in salt order (salts
-    are contiguous doc_id sub-ranges), concat, re-encode — byte-identical to
-    an unsalted single encode."""
-    from clinical_trial_searchengine_spark.functions.codec import decode_postings
-
-    if len(pdf) == 1:
-        row = pdf.iloc[0]
-        return pd.DataFrame(
-            {
-                "shard": [int(row["shard"])],
-                "term": [row["term"]],
-                "n_postings": [int(row["n_postings"])],
-                "cf_local": [int(row["cf_local"])],
-                "n_blocks": [int(row["n_blocks"])],
-                "postings": [row["postings"]],
-            }
-        )
-    pdf = pdf.sort_values("salt")
-    ids_parts, tf_parts = [], []
-    for buf in pdf["postings"]:
-        d, t = decode_postings(bytes(buf))
-        ids_parts.append(d)
-        tf_parts.append(t)
-    doc_ids = np.concatenate(ids_parts)
-    tfs = np.concatenate(tf_parts).astype(np.uint64)
-    buf, n_blocks = encode_postings(doc_ids, tfs)
-    return pd.DataFrame(
-        {
-            "shard": [int(pdf["shard"].iloc[0])],
-            "term": [pdf["term"].iloc[0]],
-            "n_postings": [int(pdf["n_postings"].sum())],
-            "cf_local": [int(pdf["cf_local"].sum())],
-            "n_blocks": [n_blocks],
-            "postings": [buf],
-        }
-    )
 
 
 def _pack_norms(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -407,3 +407,45 @@ def test_kmeans_distributed_trainer(spark):
     cos = np.abs(C1 @ a)
     assert (cos > 0.98).all()
     assert (C1[0] @ a) * (C1[1] @ a) < 0  # opposite sides
+
+
+def test_lsh_gate_corpus_projections_far_from_zero():
+    """Guard for the ann_cosine_topk lsh-variant oracle: the plane WEIGHTS
+    are bit-exact across engines (md5-derived, every step exact in IEEE
+    double), but the sign BUCKETS come from dot products whose summation
+    order differs between NumPy matmul (Spark side) and DuckDB's SUM
+    aggregate — a projection within a few ulps of zero could flip a
+    bucket bit between the two engines and flake the gate.  Assert that
+    on the actual gate corpora (testdata embeddings, gate parameters
+    n_planes=10 / seed=42) every projection magnitude sits orders of
+    magnitude above the worst-case summation-error bound, so no
+    reordering of the sum can cross zero."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from clinical_trial_searchengine_spark.operators.similarity import (
+        lsh_planes,
+    )
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        tbl = pq.read_table(path, columns=["embedding"])
+        M = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64)
+        planes = lsh_planes(M.shape[1], n_planes=10, seed=42)
+        proj = M @ planes.T
+        # worst-case |error| of ANY summation order of d products:
+        # (d-1) * eps * sum(|terms|)  (standard recursive-sum bound)
+        eps = np.finfo(np.float64).eps
+        bound = (M.shape[1] - 1) * eps * (np.abs(M) @ np.abs(planes).T)
+        min_margin = (np.abs(proj) / np.maximum(bound, 1e-300)).min()
+        assert min_margin > 1e3, (
+            f"{sf}: projection within {min_margin:.1f}x of the summation "
+            "error bound - bucket bits not engine-stable"
+        )
+        checked += 1
+    assert checked, "no testdata embeddings found to guard"
