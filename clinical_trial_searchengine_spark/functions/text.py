@@ -98,36 +98,51 @@ def fingerprint_md5(text_col: str = "text") -> Column:
     )
 
 
-def rolling_hash_fingerprint(text_col: str = "text", window: int = 8) -> Column:
-    """Winnowing-style fingerprint: min of Rabin-Karp rolling hashes over
-    `window`-grams of the normalized token stream (pandas UDF; the decode
-    math is NumPy)."""
+def _rolling_fp_ref(t: str | None, window: int) -> int:
+    """Per-doc reference rule: non-ASCII fallback + kernel oracle."""
     import zlib
 
     import numpy as np
 
     B = np.uint64(1000003)
     MOD_MASK = np.uint64((1 << 61) - 1)
+    toks = (t or "").lower().split()
+    # crc32: deterministic across processes (python hash() is salted)
+    hs = np.array([zlib.crc32(w.encode()) for w in toks], dtype=np.uint64)
+    if len(hs) < window:
+        return int(hs.sum() & MOD_MASK) if len(hs) else 0
+    acc = np.zeros(len(hs) - window + 1, dtype=np.uint64)
+    for j in range(window):
+        acc = (acc * B + hs[j : j + len(acc)]) & MOD_MASK
+    return int(acc.min())
+
+
+def rolling_hash_fingerprint(text_col: str = "text", window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min of Rabin-Karp rolling hashes over
+    `window`-grams of the normalized token stream.
+
+    ASCII rows run through the vectorized kernel
+    (:func:`.vechash.rolling_fingerprint_ascii`): crc32 once per
+    vocabulary entry via the lockstep CRC, the window recurrence as
+    `window` whole-stream passes, per-doc min via reduceat — no per-row
+    Python.  Non-ASCII rows fall back row-wise to the bit-identical
+    reference rule."""
 
     @F.pandas_udf("long")
     def _fp(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").lower().split()
-            # crc32: deterministic across processes (python hash() is salted)
-            hs = np.array(
-                [zlib.crc32(w.encode()) for w in toks], dtype=np.uint64
-            )
-            if len(hs) < window:
-                out.append(int(hs.sum() & MOD_MASK) if len(hs) else 0)
-                continue
-            # rolling polynomial hash over windows, vectorized via cumsum of
-            # weighted terms
-            acc = np.zeros(len(hs) - window + 1, dtype=np.uint64)
-            for j in range(window):
-                acc = (acc * B + hs[j : j + len(acc)]) & MOD_MASK
-            out.append(int(acc.min()))
-        return pd.Series(out, dtype="int64")
+        from clinical_trial_searchengine_spark.functions.vechash import (
+            apply_ascii_vectorized,
+            rolling_fingerprint_ascii,
+        )
+
+        return pd.Series(
+            apply_ascii_vectorized(
+                texts,
+                lambda arr: rolling_fingerprint_ascii(arr, window),
+                lambda t: _rolling_fp_ref(t, window),
+            ),
+            dtype="int64",
+        )
 
     return _fp(F.col(text_col))
 
@@ -145,21 +160,40 @@ _LANG_PROFILES = {
 }
 
 
+def _lang_id_ref(t: str | None) -> str:
+    """Per-doc reference rule: non-ASCII fallback + kernel oracle."""
+    words = set((t or "").lower().split()[:200])
+    best, best_n = "und", 0
+    for lang in sorted(_LANG_PROFILES):
+        n = len(words & _LANG_PROFILES[lang])
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
 def lang_id(text_col: str = "text") -> Column:
     """Heuristic language ID: argmax of stopword-profile hit ratio; 'und'
-    (undetermined) when nothing matches.  Vectorized pandas UDF."""
+    (undetermined) when nothing matches.
+
+    ASCII rows run through the vectorized kernel
+    (:func:`.vechash.lang_id_ascii`): split + dictionary-encode as
+    Arrow-buffer passes, profile membership once per vocabulary entry,
+    per-(doc, lang) hits via bincount — no per-row Python.  Non-ASCII
+    rows fall back row-wise to the identical reference rule."""
 
     @F.pandas_udf(StringType())
     def _lid(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            words = set((t or "").lower().split()[:200])
-            best, best_n = "und", 0
-            for lang in sorted(_LANG_PROFILES):
-                n = len(words & _LANG_PROFILES[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            out.append(best)
-        return pd.Series(out)
+        from clinical_trial_searchengine_spark.functions.vechash import (
+            apply_ascii_vectorized,
+            lang_id_ascii,
+        )
+
+        return pd.Series(
+            apply_ascii_vectorized(
+                texts,
+                lambda arr: lang_id_ascii(arr, _LANG_PROFILES),
+                _lang_id_ref,
+            )
+        )
 
     return _lid(F.col(text_col))

@@ -229,26 +229,48 @@ def _perm_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+def _minhash_signature_ref(
+    t: str | None, a: np.ndarray, b: np.ndarray, n: int
+) -> list[int]:
+    """Per-doc reference MinHash (the pre-round-5 loop): kept as the
+    row-wise fallback for non-ASCII rows and as the oracle the vectorized
+    kernel is asserted bit-identical against."""
+    sh = _shingle_set(t or "", n)
+    if not sh:
+        return [0] * len(a)
+    hs = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
+    m = (a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE
+    return m.min(axis=1).astype(np.int64).tolist()
+
+
 def minhash_signature_udf(num_hashes: int = 128, n: int = 3, seed: int = 42):
-    """text -> array<long> MinHash signature (vectorized numpy inside a
-    pandas UDF; Arrow-batched)."""
+    """text -> array<long> MinHash signature.
+
+    ASCII rows (the hot path — source-code corpora) run through the
+    fully-vectorized Arrow-buffer kernel
+    (:func:`..functions.vechash.minhash_signatures_ascii`): shingles are
+    contiguous slices of a rebuilt space-joined token stream, crc32 runs
+    in numpy lockstep, and the (a*h+b) mod M mins stream through blocked
+    in-place uint64 passes — no per-row Python (round-4 verdict: the
+    per-doc loop here was the last hot-path Python at 100 TB scale).
+    Non-ASCII rows fall back row-wise to the bit-identical reference
+    loop."""
     a, b = _perm_params(num_hashes, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = _shingle_set(t or "", n)
-            if not sh:
-                out.append([0] * num_hashes)
-                continue
-            hs = np.array(
-                [zlib.crc32(s.encode()) for s in sh], dtype=np.uint64
+        from clinical_trial_searchengine_spark.functions.vechash import (
+            apply_ascii_vectorized,
+            minhash_signatures_ascii,
+        )
+
+        return pd.Series(
+            apply_ascii_vectorized(
+                texts,
+                lambda arr: minhash_signatures_ascii(arr, a, b, n),
+                lambda t: _minhash_signature_ref(t, a, b, n),
             )
-            # (a*h + b) mod p, min over shingles — num_hashes x |sh| matrix
-            m = (a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE
-            out.append(m.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
+        )
 
     return _sig
 
@@ -323,36 +345,56 @@ def minhash_lsh_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_ref(t: str | None) -> int:
+    """Per-doc reference SimHash: non-ASCII fallback + kernel oracle."""
+    import hashlib
+    from collections import Counter
+
+    toks = (t or "").lower().split()
+    if not toks:
+        return 0
+    votes = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w, tf in Counter(toks).items():
+        h = np.uint64(int.from_bytes(
+            hashlib.md5(w.encode()).digest()[:8], "little"
+        ))
+        bits = (h >> shifts) & np.uint64(1)
+        votes += tf * (2 * bits.astype(np.int64) - 1)
+    h64 = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            h64 |= np.uint64(1) << np.uint64(i)
+    return int(h64.astype(np.int64))
+
+
 def simhash_udf(seed: int = 42):
     """text -> 64-bit SimHash (as signed long): tf-weighted bit votes over
-    md5-derived token hashes."""
+    md5-derived token hashes.
+
+    ASCII rows run through the vectorized kernel
+    (:func:`..functions.vechash.simhash_ascii`): whitespace split +
+    dictionary-encode as Arrow-buffer passes, md5 once per VOCABULARY
+    entry (cached across batches), bit votes as blocked reduceat sums —
+    per-occurrence Python is gone.  Non-ASCII rows fall back row-wise to
+    the bit-identical reference loop."""
+    cache: dict = {}  # vocab md5s; lives across batches per python worker
 
     @F.pandas_udf(LongType())
     def _sim(texts: pd.Series) -> pd.Series:
-        import hashlib
+        from clinical_trial_searchengine_spark.functions.vechash import (
+            apply_ascii_vectorized,
+            simhash_ascii,
+        )
 
-        out = []
-        for t in texts:
-            toks = (t or "").lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            from collections import Counter
-
-            shifts = np.arange(64, dtype=np.uint64)
-            for w, tf in Counter(toks).items():
-                h = np.uint64(int.from_bytes(
-                    hashlib.md5(w.encode()).digest()[:8], "little"
-                ))
-                bits = (h >> shifts) & np.uint64(1)
-                votes += tf * (2 * bits.astype(np.int64) - 1)
-            h64 = np.uint64(0)
-            for i in range(64):
-                if votes[i] > 0:
-                    h64 |= np.uint64(1) << np.uint64(i)
-            out.append(int(h64.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+        return pd.Series(
+            apply_ascii_vectorized(
+                texts,
+                lambda arr: simhash_ascii(arr, cache),
+                _simhash_ref,
+            ),
+            dtype="int64",
+        )
 
     return _sim
 
