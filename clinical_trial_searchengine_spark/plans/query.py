@@ -1236,6 +1236,83 @@ def _scored_many(
     )
 
 
+def _fallback_topk_df(
+    spark: SparkSession,
+    index_dir: str,
+    fb_qids: list[str],
+    query_texts: dict[str, str],
+    k: int,
+    handle: IndexHandle,
+    filters: dict[str, DataFrame] | None,
+    boosts: dict[str, DataFrame] | None,
+) -> DataFrame | None:
+    """Exact score-then-join path for the whole FALLBACK set (queries
+    whose filter/boost tables exceeded the push caps or carry
+    join-defined edge values) as ONE Spark job.
+
+    Round-4 verdict #3: the per-query ``search(..., _no_push=True)``
+    driver loop made a batch with Q oversized-table queries degrade to Q
+    sequential jobs.  Here the batch kernel scores ALL matches for every
+    fallback query in one pass (k = shard_size, the exactness bound the
+    single-query path uses), the per-query boost/filter tables are
+    unioned with a ``query_id`` key and joined once, and the per-query
+    top-k is one Window.  Row-identical to the old loop: the same left
+    boost join (duplicate ids duplicate rows, NULL multipliers coalesce
+    to 1.0), the same left-semi filter, the same (score desc, doc_id
+    asc) order.  Returns (query_id, doc_id, score, rank) or None when no
+    fallback query has tokens."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    fb_q = {qid: query_texts[qid] for qid in fb_qids}
+    scored = _scored_many(
+        spark, index_dir, fb_q, handle.meta["shard_size"], handle
+    )
+    if scored is None:
+        return None
+    b_parts = [
+        boosts[qid].select(
+            F.lit(qid).alias("query_id"), "doc_id", "_boost"
+        )
+        for qid in fb_qids
+        if boosts and qid in boosts
+    ]
+    if b_parts:
+        ball = reduce(DataFrame.unionByName, b_parts)
+        scored = (
+            scored.join(ball, ["query_id", "doc_id"], "left")
+            .withColumn(
+                "score",
+                F.col("score") * F.coalesce(F.col("_boost"), F.lit(1.0)),
+            )
+            .drop("_boost")
+        )
+    f_parts = [
+        filters[qid].select(F.lit(qid).alias("query_id"), "doc_id")
+        for qid in fb_qids
+        if filters and qid in filters
+    ]
+    if f_parts:
+        # queries WITHOUT a filter table must keep all their rows: union
+        # the filtered queries' allow-lists and left-semi only those
+        fall = reduce(DataFrame.unionByName, f_parts)
+        has_f = {qid for qid in fb_qids if filters and qid in filters}
+        unfiltered = scored.where(~F.col("query_id").isin(sorted(has_f)))
+        scored = scored.where(
+            F.col("query_id").isin(sorted(has_f))
+        ).join(fall, ["query_id", "doc_id"], "left_semi").unionByName(
+            unfiltered
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def search_many(
     spark: SparkSession,
     index_dir: str,
@@ -1278,19 +1355,13 @@ def search_many(
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
         )
-    for qid in sorted(fallback & set(query_texts)):
-        one = search(
-            spark, index_dir, query_texts[qid], k,
-            filter_doc_ids=(filters or {}).get(qid),
-            boost=(boosts or {}).get(qid),
-            handle=handle, _no_push=True,
-        ).select(
-            F.lit(qid).alias("query_id"), "doc_id", "score",
-            F.row_number().over(
-                Window.orderBy(F.desc("score"), F.asc("doc_id"))
-            ).alias("rank"),
+    fb = sorted(fallback & set(query_texts))
+    if fb:
+        fb_out = _fallback_topk_df(
+            spark, index_dir, fb, query_texts, k, handle, filters, boosts
         )
-        out = out.unionByName(one)
+        if fb_out is not None:
+            out = out.unionByName(fb_out)
     return out
 
 
@@ -1323,16 +1394,22 @@ def search_many_rows(
         filters or {}, boosts or {}
     )
     out: dict[str, list[tuple[int, float]]] = {q: [] for q in query_texts}
-    for qid in sorted(fallback & set(query_texts)):
-        out[qid] = [
-            (r["doc_id"], r["score"])
-            for r in search(
-                spark, index_dir, query_texts[qid], k,
-                filter_doc_ids=(filters or {}).get(qid),
-                boost=(boosts or {}).get(qid),
-                handle=handle, _no_push=True,
-            ).collect()
-        ]
+    fb = sorted(fallback & set(query_texts))
+    if fb:
+        # one distributed job for the whole fallback set (not Q serial
+        # jobs); its output is already per-query top-k, so the collect
+        # stays bounded at |fb| * k rows
+        fb_df = _fallback_topk_df(
+            spark, index_dir, fb, query_texts, k, handle, filters, boosts
+        )
+        if fb_df is not None:
+            fb_pdf = (
+                fb_df.select("query_id", "doc_id", "score", "rank")
+                .toArrow().to_pandas()
+                .sort_values(["query_id", "rank"])
+            )
+            for qid, doc_id, score, _rank in fb_pdf.itertuples(index=False):
+                out[qid].append((int(doc_id), float(score)))
     batch_q = {q: t for q, t in query_texts.items() if q not in fallback}
     scored = _scored_many(
         spark, index_dir, batch_q, k, handle, allows, boost_arrs

@@ -382,3 +382,30 @@ def test_multifield_build_tokenizes_once(
         shard_size=48,
     )
     assert out["num_docs"] > 0
+
+
+def test_search_many_fallback_is_one_job_not_a_search_loop(
+    built_index, spark, monkeypatch
+):
+    """Round-4 verdict #3: oversized-table queries used to be served one
+    search() Spark job each in a driver loop.  Force every query into
+    fallback and assert the batch paths never call search() at all —
+    the whole fallback set rides one _scored_many job."""
+    from pyspark.sql import functions as F
+    from clinical_trial_searchengine_spark.plans import query as q
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    dm = spark.read.parquet(seg.path_of(built_index.index_dir, seg.DOC_META))
+    flt = dm.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    texts = {"a": "def license", "b": "the import", "c": "return def"}
+    filters = {"a": flt, "b": flt, "c": flt}
+    monkeypatch.setattr(q, "_FILTER_PUSH_CAP", 0)
+
+    def _boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("fallback degraded to a per-query search loop")
+
+    monkeypatch.setattr(q, "search", _boom)
+    rows = built_index.search_many_rows(texts, k=5, filters=filters)
+    assert all(rows[qid] for qid in texts)
+    batch = built_index.search_many(texts, k=5, filters=filters).collect()
+    assert {r["query_id"] for r in batch} == set(texts)
