@@ -296,3 +296,122 @@ def evaluate_search(
         "query_id", "doc_id", "rank"
     )
     return ir_metrics(run, qrels, k=k, round_to=round_to)
+
+
+def export_metrics_report(
+    per_query: DataFrame,
+    out_dir: str,
+    k: int = 10,
+    charts: bool = True,
+) -> dict:
+    """Write the reference's evaluation artifacts from a per-query metrics
+    DataFrame (the :func:`ir_metrics` / :func:`feasibility_metrics` shape:
+    one row per query_id plus metric columns).
+
+    The reference emits metrics_report.csv ("metric,value" rows of the
+    aggregate means), metrics_report.json (the same dict) and bar charts
+    per metric group (reference:
+    backend/evaluation/evaluation_pipeline.py:159-213).  This twin writes:
+
+    - ``metrics_report.csv`` / ``metrics_report.json`` — the macro means,
+      reference shape, metric names suffixed ``@k``
+    - ``per_query_metrics.csv`` — the full per-query table (the driver
+      side of one collect over Q tiny rows)
+    - ``metrics_charts/metrics.svg`` — a dependency-free SVG bar chart
+      (the container has no matplotlib; if it is importable a PNG is
+      written too, matching the reference's output format)
+
+    Returns the aggregate dict.  The collect is bounded: Q rows of
+    ~10 doubles."""
+    import csv
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = per_query.toPandas()
+    metric_cols = [
+        c for c in pdf.columns
+        if c != "query_id" and pdf[c].dtype.kind in "fi"
+    ]
+    # drop a pre-aggregated mean row if the caller's table carries one
+    per_rows = pdf[pdf["query_id"] != "__mean__"] if "query_id" in pdf \
+        else pdf
+    means = {
+        f"{c}@{k}": float(per_rows[c].mean()) for c in metric_cols
+    }
+    per_rows.to_csv(
+        os.path.join(out_dir, "per_query_metrics.csv"), index=False
+    )
+    with open(os.path.join(out_dir, "metrics_report.csv"), "w",
+              newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["metric", "value"])
+        for m, v in means.items():
+            w.writerow([m, v])
+    with open(os.path.join(out_dir, "metrics_report.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(means, f, indent=4)
+    if charts and means:
+        cdir = os.path.join(out_dir, "metrics_charts")
+        os.makedirs(cdir, exist_ok=True)
+        _write_svg_bar_chart(
+            os.path.join(cdir, "metrics.svg"),
+            f"Ranking metrics (mean over {len(per_rows)} queries)",
+            means,
+        )
+        try:  # matching the reference's PNG output when available
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.figure(figsize=(10, 6))
+            plt.bar(list(means), list(means.values()))
+            plt.xticks(rotation=45, ha="right")
+            plt.title("Ranking metrics")
+            plt.tight_layout()
+            plt.savefig(os.path.join(cdir, "metrics.png"))
+            plt.close()
+        except ImportError:
+            pass
+    return means
+
+
+def _write_svg_bar_chart(path: str, title: str, values: dict) -> None:
+    """Minimal dependency-free SVG bar chart (deterministic output)."""
+    W, H, PAD, TITLE_H = 760, 420, 56, 36
+    n = max(len(values), 1)
+    vmax = max([abs(v) for v in values.values()] + [1e-12])
+    slot = (W - 2 * PAD) / n
+    bw = slot * 0.64
+    plot_h = H - PAD - TITLE_H
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}" '
+        f'viewBox="0 0 {W} {H}" font-family="sans-serif">',
+        f'<rect width="{W}" height="{H}" fill="white"/>',
+        f'<text x="{W/2:.1f}" y="24" text-anchor="middle" '
+        f'font-size="16">{title}</text>',
+        f'<line x1="{PAD}" y1="{H-PAD}" x2="{W-PAD}" y2="{H-PAD}" '
+        'stroke="#333"/>',
+    ]
+    for i, (name, v) in enumerate(values.items()):
+        h = (abs(v) / vmax) * (plot_h - TITLE_H)
+        x = PAD + i * slot + (slot - bw) / 2
+        y = H - PAD - h
+        parts.append(
+            f'<rect x="{x:.1f}" y="{y:.1f}" width="{bw:.1f}" '
+            f'height="{h:.1f}" fill="#4878a8"/>'
+        )
+        parts.append(
+            f'<text x="{x + bw/2:.1f}" y="{y - 6:.1f}" text-anchor="middle" '
+            f'font-size="11">{v:.3f}</text>'
+        )
+        parts.append(
+            f'<text x="{x + bw/2:.1f}" y="{H-PAD+14:.1f}" '
+            f'text-anchor="middle" font-size="10" '
+            f'transform="rotate(30 {x + bw/2:.1f} {H-PAD+14:.1f})">'
+            f"{name}</text>"
+        )
+    parts.append("</svg>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(parts))

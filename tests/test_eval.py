@@ -157,3 +157,43 @@ def test_feasibility_metrics_hand_computed(spark):
     assert means["n_queries"] == 2
     assert abs(means["mean_precision_feasible_10"] - 0.1) <= TOL
     assert abs(means["mean_violation_5"] - 0.3) <= TOL
+
+
+def test_export_metrics_report(spark, tmp_path):
+    """Artifact export twin of the reference's evaluation pipeline output
+    (metrics_report.csv/json + chart dir; reference:
+    backend/evaluation/evaluation_pipeline.py:159-213)."""
+    import csv
+    import json
+    import os
+
+    from clinical_trial_searchengine_spark.operators.eval import (
+        export_metrics_report,
+    )
+
+    per_q = spark.createDataFrame(
+        [("q1", 0.5, 0.25, 1.0), ("q2", 0.1, 0.05, 0.0),
+         ("__mean__", 0.3, 0.15, 0.5)],
+        "query_id string, precision double, recall double, hit_rate double",
+    )
+    out = str(tmp_path / "report")
+    means = export_metrics_report(per_q, out, k=10)
+    # pre-aggregated __mean__ row must be excluded from the recomputed means
+    assert means == {
+        "precision@10": 0.3, "recall@10": 0.15, "hit_rate@10": 0.5,
+    }
+    with open(os.path.join(out, "metrics_report.json")) as f:
+        assert json.load(f) == means
+    with open(os.path.join(out, "metrics_report.csv")) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["metric", "value"]
+    assert {r[0] for r in rows[1:]} == set(means)
+    with open(os.path.join(out, "per_query_metrics.csv")) as f:
+        pq_rows = list(csv.reader(f))
+    assert len(pq_rows) == 3  # header + 2 queries, no __mean__
+    svg = os.path.join(out, "metrics_charts", "metrics.svg")
+    assert os.path.exists(svg)
+    body = open(svg).read()
+    assert body.startswith("<svg")
+    assert "precision@10" in body  # bar labels present
+    assert "<rect" in body and "0.300" in body
