@@ -316,25 +316,53 @@ def minhash_lsh_duplicates(
     )
     if not verify:
         return cand
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    pairs = (
-        cand.join(texts.withColumnRenamed("id", "id_a")
-                  .withColumnRenamed("t", "t_a"), "id_a")
-        .join(texts.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("t", "t_b"), "id_b")
+    # Exact-Jaccard verify with BUILT-INS only (JVM-side): the old path
+    # shipped both full texts to a pandas UDF and re-shingled each side
+    # per candidate PAIR in a Python loop — at 100 TB the within-bucket
+    # verify is the LSH pipeline's second hot path.  Here each doc is
+    # shingled ONCE (shingle_expr — the same SQL shingles the sibling
+    # ngram_jaccard_pairs and the shared DuckDB oracle use), candidates
+    # join their shingle sets on equality for the intersection count, and
+    # |union| falls out of the per-doc sizes.  F.round matches the
+    # oracle's rounding (the UDF's Python banker's round was the odd one
+    # out at exact half-ulp boundaries).
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(shingle_expr(text_col, n))).alias("sh"),
     )
-
-    @F.pandas_udf("double")
-    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        vals = []
-        for x, y in zip(ta, tb):
-            sa, sb = _shingle_set(x or "", n), _shingle_set(y or "", n)
-            u = len(sa | sb)
-            vals.append(round(len(sa & sb) / u, 6) if u else 0.0)
-        return pd.Series(vals)
-
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand
+        .join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
     return (
-        pairs.withColumn("jaccard", _jac("t_a", "t_b"))
+        cand
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col("id").alias("id_a"),
+                         F.col("n_sh").alias("size_a")), "id_a", "left",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"),
+                         F.col("n_sh").alias("size_b")), "id_b", "left",
+        )
+        .withColumn(
+            "_u",
+            F.coalesce("size_a", F.lit(0)) + F.coalesce("size_b", F.lit(0))
+            - F.coalesce("n_inter", F.lit(0)),
+        )
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.col("_u") > 0,
+                F.round(
+                    F.coalesce("n_inter", F.lit(0)) / F.col("_u"), 6
+                ),
+            ).otherwise(0.0),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -188,6 +188,41 @@ def main() -> None:
         ],
     )
 
+    # 5d. oversized-filter fallback: the whole fallback SET must ride one
+    #     batch kernel + one semi-join, never a per-query job loop
+    from clinical_trial_searchengine_spark.plans import query as qmod
+    from clinical_trial_searchengine_spark.plans.query import search_many
+
+    old_cap = qmod._FILTER_PUSH_CAP
+    try:
+        qmod._FILTER_PUSH_CAP = 0  # force every query into fallback
+        fb = search_many(
+            spark, index_dir,
+            {"q1": "merge join", "q2": "filter scan", "q3": "def license"},
+            k=10, handle=eng.handle(),
+            filters={qid: dm.select("doc_id") for qid in ("q1", "q2", "q3")},
+        )
+    finally:
+        qmod._FILTER_PUSH_CAP = old_cap
+    audit(
+        "Segment engine batch, oversized-filter fallback (B4 batch)",
+        "Queries whose filter tables exceed the push cap take the exact "
+        "score-then-join path — as ONE job for the whole set: a single "
+        "batch-kernel cogroup scores all fallback queries in one postings "
+        "pass, the unioned per-query allow-lists join once (left-semi on "
+        "(query_id, doc_id)), and the per-query top-k is one window.  A "
+        "per-query search() loop here (the round-4 shape) would cost Q "
+        "sequential jobs.",
+        fb,
+        [
+            ("exactly one batch-kernel cogroup in the plan",
+             lambda p: p.count("FlatMapCoGroupsInPandas") == 1),
+            ("filter applied as left-semi join", ["LeftSemi"]),
+            ("per-query top-k window", ["RunningWindowFunction",
+                                        "Window"]),
+        ],
+    )
+
     # 6. materialized IVF index: query must prune to the probed partitions
     from clinical_trial_searchengine_spark.operators.similarity import (
         build_ivf_index,
