@@ -1294,15 +1294,25 @@ def _fallback_topk_df(
         if filters and qid in filters
     ]
     if f_parts:
-        # queries WITHOUT a filter table must keep all their rows: union
-        # the filtered queries' allow-lists and left-semi only those
-        fall = reduce(DataFrame.unionByName, f_parts)
-        has_f = {qid for qid in fb_qids if filters and qid in filters}
-        unfiltered = scored.where(~F.col("query_id").isin(sorted(has_f)))
-        scored = scored.where(
-            F.col("query_id").isin(sorted(has_f))
-        ).join(fall, ["query_id", "doc_id"], "left_semi").unionByName(
-            unfiltered
+        # queries WITHOUT a filter table must keep all their rows, but a
+        # where/union split would re-evaluate the kernel subtree once per
+        # branch (two postings passes — caught by the EXPLAIN audit).
+        # One left join against the DISTINCT allow-lists (distinct ==
+        # left-semi row semantics) + a keep predicate costs one pass.
+        fall = reduce(DataFrame.unionByName, f_parts).distinct()
+        has_f = sorted(
+            {qid for qid in fb_qids if filters and qid in filters}
+        )
+        scored = (
+            scored.join(
+                fall.withColumn("_allow", F.lit(True)),
+                ["query_id", "doc_id"], "left",
+            )
+            .where(
+                F.col("_allow").isNotNull()
+                | ~F.col("query_id").isin(has_f)
+            )
+            .drop("_allow")
         )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")

@@ -209,15 +209,20 @@ def main() -> None:
         "Queries whose filter tables exceed the push cap take the exact "
         "score-then-join path — as ONE job for the whole set: a single "
         "batch-kernel cogroup scores all fallback queries in one postings "
-        "pass, the unioned per-query allow-lists join once (left-semi on "
-        "(query_id, doc_id)), and the per-query top-k is one window.  A "
-        "per-query search() loop here (the round-4 shape) would cost Q "
-        "sequential jobs.",
+        "pass, the unioned DISTINCT per-query allow-lists join once on "
+        "(query_id, doc_id) (left join + keep predicate == left-semi row "
+        "semantics, but without the where/union split that would "
+        "re-evaluate the kernel subtree per branch), and the per-query "
+        "top-k is one window.  A per-query search() loop here (the "
+        "round-4 shape) would cost Q sequential jobs.",
         fb,
         [
             ("exactly one batch-kernel cogroup in the plan",
-             lambda p: p.count("FlatMapCoGroupsInPandas") == 1),
-            ("filter applied as left-semi join", ["LeftSemi"]),
+             # tree lines read "FlatMapCoGroupsInPandas (NN)"; the node
+             # detail section repeats the name as "(NN) FlatMap..."
+             lambda p: p.count("FlatMapCoGroupsInPandas (") == 1),
+            ("allow-list joined on (query_id, doc_id)",
+             lambda p: "Join" in p and "query_id" in p),
             ("per-query top-k window", ["RunningWindowFunction",
                                         "Window"]),
         ],
