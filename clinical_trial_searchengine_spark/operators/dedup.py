@@ -316,6 +316,15 @@ def minhash_lsh_duplicates(
     )
     if not verify:
         return cand
+    # cand feeds the verify twice (doc semi-join + intersection join);
+    # without persist Spark would re-run the signature UDF + banding
+    # self-join per reference (measured 2x the operator).  The candidate
+    # set is LSH-bounded (pairs sharing a band bucket), and Spark's
+    # ContextCleaner unpersists it once the returned DataFrame is
+    # unreachable.
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     # Exact-Jaccard verify with BUILT-INS only (JVM-side): the old path
     # shipped both full texts to a pandas UDF and re-shingled each side
     # per candidate PAIR in a Python loop — at 100 TB the within-bucket
@@ -326,9 +335,21 @@ def minhash_lsh_duplicates(
     # |union| falls out of the per-doc sizes.  F.round matches the
     # oracle's rounding (the UDF's Python banker's round was the odd one
     # out at exact half-ulp boundaries).
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.expr(shingle_expr(text_col, n))).alias("sh"),
+    # only docs that appear in a candidate pair are shingled: candidates
+    # are a vanishing fraction of the corpus at scale (that selectivity
+    # is the entire point of LSH banding), so the semi-join keeps the
+    # explode |cand-docs| * shingles, not |corpus| * shingles
+    need = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(need, "id", "left_semi")
+        .select(
+            "id", F.explode(F.expr(shingle_expr(text_col, n))).alias("sh")
+        )
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -338,29 +359,28 @@ def minhash_lsh_duplicates(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    # candidates sharing NO shingle have jaccard 0 and can never clear a
+    # positive threshold, so the output builds on `inter` directly (a
+    # third cand reference would be another subtree execution)
     return (
-        cand
-        .join(inter, ["id_a", "id_b"], "left")
+        inter
         .join(
             sizes.select(F.col("id").alias("id_a"),
-                         F.col("n_sh").alias("size_a")), "id_a", "left",
+                         F.col("n_sh").alias("size_a")), "id_a",
         )
         .join(
             sizes.select(F.col("id").alias("id_b"),
-                         F.col("n_sh").alias("size_b")), "id_b", "left",
+                         F.col("n_sh").alias("size_b")), "id_b",
         )
         .withColumn(
             "_u",
-            F.coalesce("size_a", F.lit(0)) + F.coalesce("size_b", F.lit(0))
-            - F.coalesce("n_inter", F.lit(0)),
+            F.col("size_a") + F.col("size_b") - F.col("n_inter"),
         )
         .withColumn(
             "jaccard",
             F.when(
                 F.col("_u") > 0,
-                F.round(
-                    F.coalesce("n_inter", F.lit(0)) / F.col("_u"), 6
-                ),
+                F.round(F.col("n_inter") / F.col("_u"), 6),
             ).otherwise(0.0),
         )
         .where(F.col("jaccard") >= threshold)
