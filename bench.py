@@ -99,7 +99,7 @@ def main() -> None:
 
     build_walls: list[float] = []
     build_meta: dict = {}
-    for pass_i in range(2):
+    for pass_i in range(3):
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.time()
         eng = SearchEngine(spark, index_dir)
@@ -138,7 +138,7 @@ def main() -> None:
     spreads: list[float] = []
     for q in reference_queries():
         times = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.time()
             eng.search_topk_rows(q["text"], k=q["k"])
             times.append(time.time() - t0)
@@ -257,7 +257,7 @@ def main() -> None:
         ]:
             op()  # warm: codegen compile + parquet footer cache
             cells = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 op()
                 cells.append(time.time() - t0)
@@ -274,11 +274,11 @@ def main() -> None:
         "sf": sf,
         "n_docs_indexed": n_docs,
         "build_docs_per_sec": round(n_docs / build_sec, 1),
-        "build_cells": "warmup_plus_min_of_2",
+        "build_cells": "warmup_plus_min_of_3",
         "build_noise_rel_spread": round(build_spread, 4),
         "query_p50_sec": round(statistics.median(per_q), 4),
         "query_p95_sec": round(sorted(per_q)[int(0.95 * (len(per_q) - 1))], 4),
-        "query_cells": "min_of_3",
+        "query_cells": "min_of_4",
         "query_noise_rel_spread": round(statistics.median(spreads), 4),
         "cpus": cpus,
         "serving_qps_16threads": serving_qps,
