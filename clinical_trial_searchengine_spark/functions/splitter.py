@@ -19,9 +19,12 @@ Rows are (type ∈ {inclusion, exclusion, other}, seq, text) with ``seq``
 (trial_id, type, sequence_no, text) child-table shape
 (reference: backend/db/schema.sql:79-85).
 
-Spark surface: a pandas UDF producing array<struct<type,seq,text>> plus
-``explode_sections`` — Arrow-batched kernel, one explode, no per-row Python
-UDF registration.
+Spark surface: ``explode_sections`` defaults to a pure-JVM
+gaps-and-islands plan (:func:`explode_sections_sql` — windows + one
+grouped aggregation, no Python worker at all); the original
+Arrow-batched pandas-UDF kernel remains as ``engine="udf"``, the
+executable spec the SQL twin is property-tested against
+(tests/test_splitter.py).
 """
 
 from __future__ import annotations
@@ -112,12 +115,22 @@ def split_sections_udf():
 
 
 def explode_sections(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    engine: str = "sql",
 ) -> DataFrame:
     """(id, blob) -> one row per parsed section entry:
-    (id, type, seq, text).  The UDTF shape: kernel builds the nested array,
-    a single explode flattens it — the child rows land co-partitioned with
-    their parent, no shuffle."""
+    (id, type, seq, text).
+
+    ``engine="sql"`` (default, round 5): the pure-JVM gaps-and-islands
+    twin (:func:`explode_sections_sql`) — whole-stage codegen, no Python
+    worker.  ``engine="udf"``: the original Arrow-batched pandas-UDF
+    UDTF shape (kernel builds the nested array, one explode flattens it);
+    kept as the executable spec the SQL twin is property-tested against."""
+    if engine == "sql":
+        return explode_sections_sql(df, text_col, id_col)
+    assert engine == "udf", engine
     return df.select(
         F.col(id_col),
         F.explode(split_sections_udf()(F.col(text_col))).alias("_s"),
@@ -126,4 +139,112 @@ def explode_sections(
         F.col("_s.type").alias("type"),
         F.col("_s.seq").alias("seq"),
         F.col("_s.text").alias("text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-JVM twin (round 5): the stateful scanner as gaps-and-islands SQL
+# ---------------------------------------------------------------------------
+
+# Python str.splitlines() ASCII terminators (plus \r\n as one break).
+# The non-ASCII terminators (\x85, \u2028, \u2029) are a documented
+# divergence - corpus text is \n-delimited.
+_LINE_BREAK_RE = "\\r\\n|[\\n\\r\\u000b\\u000c\\u001c\\u001d\\u001e]"
+_WS_TRIM_RE = "^\\s+|\\s+$"
+_BULLET_STRIP_RE = "^[-*•· ]+"
+
+
+def explode_sections_sql(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """JVM-only twin of :func:`explode_sections`: the line scanner's state
+    machine re-expressed as windows + one grouped aggregation, equivalent
+    row-for-row to :func:`split_sections` (property-tested).
+
+    The translation (gaps-and-islands, same shape as the sessionizer):
+
+    * current section  = last header type at-or-before the line
+      (``last(.., ignorenulls)`` over an unbounded-preceding window);
+    * the scanner's continuation BUFFER = maximal run of plain lines
+      between boundaries (headers/bullets — blank lines are transparent:
+      they neither flush nor join), keyed by the running boundary count;
+    * emission order = first content position: a buffered group is always
+      flushed at the next boundary, before that boundary's own emission,
+      so ordering rows by the position of their first content line
+      reproduces the scanner's emission sequence exactly;
+    * seq = row_number per (doc, type) over that order.
+
+    One shuffle on ``id_col`` (windows + groupBy share it), whole-stage
+    codegen, no Python worker — at 10^12 ingest rows the pandas-UDF twin
+    pays Arrow transfer + kernel time for what is expressible as plain
+    plan nodes.  Kept alongside the UDF version, which remains the
+    executable spec.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _LINE_BREAK_RE)
+        ).alias("_pos", "_raw"),
+    )
+    ln = F.regexp_replace(F.col("_raw"), _WS_TRIM_RE, "")
+    low = F.lower(ln)
+    is_inc = low.contains("inclusion criteria")
+    is_exc = low.contains("exclusion criteria")
+    is_hdr = is_inc | is_exc
+    # header wins over bullet: the scanner tests headers first
+    is_bul = F.substring(ln, 1, 1).isin(list(_BULLETS)) & ~is_hdr
+    is_blank = ln == ""
+    c = lines.select(
+        id_col, "_pos", ln.alias("_ln"),
+        is_hdr.alias("_hdr"),
+        F.when(is_inc, "inclusion")
+        .when(is_exc, "exclusion").alias("_hdr_type"),
+        is_bul.alias("_bul"), is_blank.alias("_blank"),
+    )
+    w = (
+        Window.partitionBy(id_col).orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = c.select(
+        id_col, "_pos", "_ln", "_hdr", "_bul", "_blank",
+        F.coalesce(
+            F.last("_hdr_type", ignorenulls=True).over(w), F.lit("other")
+        ).alias("_sec"),
+        F.sum((F.col("_hdr") | F.col("_bul")).cast("int")).over(w)
+        .alias("_grp"),
+    )
+    bullets = c.where("_bul").select(
+        id_col,
+        F.col("_sec").alias("type"),
+        F.col("_pos").alias("_ord"),
+        F.regexp_replace("_ln", _BULLET_STRIP_RE, "").alias("text"),
+    ).where(F.col("text") != "")
+    cont = (
+        c.where(~F.col("_hdr") & ~F.col("_bul") & ~F.col("_blank"))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("_pos").alias("_ord"),
+            F.min("_sec").alias("type"),  # constant within a group
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_ln"))
+                    ),
+                    lambda s: s["_ln"],
+                ),
+            ).alias("text"),
+        )
+        .drop("_grp")
+    )
+    w_seq = Window.partitionBy(id_col, "type").orderBy("_ord")
+    return (
+        bullets.unionByName(cont.select(bullets.columns))
+        .select(
+            id_col, "type",
+            F.row_number().over(w_seq).cast("int").alias("seq"),
+            "text",
+        )
     )
