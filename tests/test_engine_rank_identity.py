@@ -409,3 +409,36 @@ def test_search_many_fallback_is_one_job_not_a_search_loop(
     assert all(rows[qid] for qid in texts)
     batch = built_index.search_many(texts, k=5, filters=filters).collect()
     assert {r["query_id"] for r in batch} == set(texts)
+
+
+def test_search_many_dup_boost_ids_route_through_batched_fallback(
+    built_index, spark
+):
+    """A boost table with duplicate doc_ids has join-defined semantics
+    (each duplicate row multiplies into the scored set), so
+    _prepare_pushdowns sends it to the fallback WITHOUT any cap tweaking.
+    The batched fallback must reproduce the single-query join path's
+    rows exactly."""
+    from pyspark.sql import functions as F
+    from clinical_trial_searchengine_spark.plans import segments as seg
+
+    dm = spark.read.parquet(seg.path_of(built_index.index_dir, seg.DOC_META))
+    some = dm.select("doc_id").limit(6)
+    dup_boost = (
+        some.withColumn("_boost", F.lit(2.0))
+        .unionByName(some.withColumn("_boost", F.lit(3.0)))
+    )  # every id twice, different multipliers -> join semantics only
+    texts = {"q_dup": "def license", "q_plain": "the import"}
+    boosts = {"q_dup": dup_boost}
+    exp = {
+        qid: built_index.search_topk_rows(t, k=8, boost=boosts.get(qid))
+        for qid, t in texts.items()
+    }
+    rows = built_index.search_many_rows(texts, k=8, boosts=boosts)
+    assert rows == exp
+    got = built_index.search_many(texts, k=8, boosts=boosts).collect()
+    by_q: dict = {qid: [] for qid in texts}
+    for r in got:
+        by_q[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+    by_q = {q: [(d, s) for _, d, s in sorted(v)] for q, v in by_q.items()}
+    assert by_q == exp
