@@ -238,3 +238,58 @@ def test_decode_blocks_subset(pairs, idx_seed):
         assert (got_tfs == np.concatenate(exp_tfs)).all()
     else:
         assert got_ids.size == 0 and got_tfs.size == 0
+
+
+# ---------------------------------------------------------------------------
+# vechash batch kernels == per-doc reference loops (round 5)
+# ---------------------------------------------------------------------------
+
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Z", "C")
+    ),
+    max_size=400,
+)
+
+
+@given(st.lists(st.one_of(_text, st.none()), max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_vechash_kernels_match_refs_on_arbitrary_unicode(texts):
+    """Random unicode (including non-ASCII -> per-row fallback, and the
+    mixed batches that split vectorized/fallback) must keep every batch
+    kernel bit-identical to its reference loop."""
+    import pandas as pd
+
+    from clinical_trial_searchengine_spark.functions import vechash as V
+    from clinical_trial_searchengine_spark.functions.text import (
+        _LANG_PROFILES,
+        _lang_id_ref,
+        _rolling_fp_ref,
+    )
+    from clinical_trial_searchengine_spark.operators.dedup import (
+        _minhash_signature_ref,
+        _perm_params,
+        _simhash_ref,
+    )
+
+    s = pd.Series(texts, dtype="object")
+    a, b = _perm_params(16)
+    mh = V.apply_ascii_vectorized(
+        s, lambda arr: V.minhash_signatures_ascii(arr, a, b, 3),
+        lambda t: _minhash_signature_ref(t, a, b, 3),
+    )
+    sh = V.apply_ascii_vectorized(
+        s, lambda arr: V.simhash_ascii(arr, {}), _simhash_ref
+    )
+    lid = V.apply_ascii_vectorized(
+        s, lambda arr: V.lang_id_ascii(arr, _LANG_PROFILES), _lang_id_ref
+    )
+    fp = V.apply_ascii_vectorized(
+        s, lambda arr: V.rolling_fingerprint_ascii(arr, 8),
+        lambda t: _rolling_fp_ref(t, 8),
+    )
+    for i, t in enumerate(texts):
+        assert list(mh[i]) == _minhash_signature_ref(t, a, b, 3), i
+        assert int(sh[i]) == _simhash_ref(t), i
+        assert lid[i] == _lang_id_ref(t), i
+        assert int(fp[i]) == _rolling_fp_ref(t, 8), i
