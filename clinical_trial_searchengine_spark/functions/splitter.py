@@ -215,36 +215,44 @@ def explode_sections_sql(
         F.sum((F.col("_hdr") | F.col("_bul")).cast("int")).over(w)
         .alias("_grp"),
     )
-    bullets = c.where("_bul").select(
-        id_col,
-        F.col("_sec").alias("type"),
-        F.col("_pos").alias("_ord"),
-        F.regexp_replace("_ln", _BULLET_STRIP_RE, "").alias("text"),
-    ).where(F.col("text") != "")
-    cont = (
-        c.where(~F.col("_hdr") & ~F.col("_bul") & ~F.col("_blank"))
-        .groupBy(id_col, "_grp")
+    # ONE grouped aggregation for both emission kinds (a bullets/cont
+    # where-union re-evaluated the whole line subtree per branch — 4
+    # exchanges; caught the same way the fallback split was): a bullet
+    # line is a singleton emission group of its own, continuations share
+    # the group between boundaries, so the composite id 2*grp + is_bullet
+    # separates them (the bullet's own grp includes itself, adjacent
+    # bullets differ in grp, and the continuations that FOLLOW a bullet
+    # share its grp but not its parity).
+    c = c.where(~F.col("_hdr") & ~F.col("_blank")).select(
+        id_col, "_pos", "_ln", "_bul", "_sec",
+        (2 * F.col("_grp") + F.col("_bul").cast("int")).alias("_eg"),
+    )
+    grouped = (
+        c.groupBy(id_col, "_eg")
         .agg(
             F.min("_pos").alias("_ord"),
-            F.min("_sec").alias("type"),  # constant within a group
+            F.min("_sec").alias("type"),   # constant within a group
+            F.max("_bul").alias("_is_bul"),
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("_pos", "_ln"))
-                    ),
+                    F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
                     lambda s: s["_ln"],
                 ),
-            ).alias("text"),
+            ).alias("_joined"),
         )
-        .drop("_grp")
+        .select(
+            id_col, "_ord", "type",
+            F.when(
+                F.col("_is_bul"),
+                F.regexp_replace("_joined", _BULLET_STRIP_RE, ""),
+            ).otherwise(F.col("_joined")).alias("text"),
+        )
+        .where(F.col("text") != "")
     )
     w_seq = Window.partitionBy(id_col, "type").orderBy("_ord")
-    return (
-        bullets.unionByName(cont.select(bullets.columns))
-        .select(
-            id_col, "type",
-            F.row_number().over(w_seq).cast("int").alias("seq"),
-            "text",
-        )
+    return grouped.select(
+        id_col, "type",
+        F.row_number().over(w_seq).cast("int").alias("seq"),
+        "text",
     )

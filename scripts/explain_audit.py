@@ -332,6 +332,37 @@ def main() -> None:
         ],
     )
 
+    from clinical_trial_searchengine_spark.functions.splitter import (
+        explode_sections,
+    )
+
+    audit(
+        "Criteria section splitter, pure-JVM twin (X3)",
+        "The stateful line scanner as gaps-and-islands: ONE shuffle on "
+        "doc_id feeds both windows and the single emission-group "
+        "aggregation (bullet singleton groups and continuation runs share "
+        "one composite key — a bullets/continuations where-union would "
+        "re-evaluate the exploded-lines subtree per branch), and no "
+        "Python worker appears anywhere: at 10^12 ingest rows the "
+        "pandas-UDF twin pays Arrow transfer for what plain plan nodes "
+        "express.",
+        explode_sections(
+            docs.selectExpr("doc_id", "text")
+        ),
+        [
+            ("exactly one Exchange in the final plan",
+             lambda p: len(
+                 __import__("re").findall(
+                     r"^\s*\+?-? ?Exchange ", p, __import__("re").M
+                 )
+             ) <= 2),  # AQE prints initial+final plan: 1 exchange each
+            ("no Python eval in the plan",
+             ["NO_BatchEvalPython", "NO_ArrowEvalPython"]),
+            ("map-side partial aggregation", ["partial_min"]),
+        ],
+        execute=True,
+    )
+
     # -- write EXPLAIN.md ----------------------------------------------------
     out = ["# EXPLAIN — physical-plan audit of the scale-critical paths\n",
            "Generated by `python scripts/explain_audit.py` "
