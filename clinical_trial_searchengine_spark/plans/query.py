@@ -84,6 +84,12 @@ def _empty_result() -> pd.DataFrame:
     )
 
 
+def _empty_batch_result() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+        {"query_id": "str", "doc_id": "int64", "score": "float64"}
+    )
+
+
 # one row per (gen, shard, term) the pruned kernel touched — the evidence
 # trail for "did block skipping fire" (profile_query below)
 _PROFILE_SCHEMA = (
@@ -186,7 +192,9 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
                             bases=None, dfs=None, tombs=None, allow=None,
                             boost=None):
     """Vectorized per-(gen, shard) kernel: decode-all, accumulate, bounded
-    top-k.
+    top-k.  Takes ``(key, p_pdf, dl)`` with ``dl`` the shard's doc-length
+    float64 array — supplied either from the cogrouped norms relation or
+    from the warmed driver-side norms broadcast (see :func:`_apply_kernel`).
 
     O(total postings) numpy work; no per-posting Python.  This is the default
     because vectorized exhaustive scoring beats pointer-chasing WAND in
@@ -206,12 +214,9 @@ def _make_exhaustive_kernel(qtf, N, avgdl, k1, b, shard_size, k,
     terms_sorted = sorted(qtf)
     bases = bases or {0: 0}
 
-    def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
-        if p_pdf.empty or n_pdf.empty:
-            return _empty_result()
+    def kernel(key, p_pdf: pd.DataFrame, dl: np.ndarray) -> pd.DataFrame:
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size  # gen-LOCAL shard base (norms/postings ids)
-        dl = _norms_dl(n_pdf)
         dl_tok = _dl_token(dl)
         acc = np.zeros(dl.size, dtype=np.float64)
         by_term = _postings_by_term(p_pdf, need_df=dfs is None)
@@ -297,12 +302,9 @@ def _make_pruned_kernel(qtf, N, avgdl, k1, b, shard_size, k,
     terms_sorted = sorted(qtf)
     bases = bases or {0: 0}
 
-    def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
-        if p_pdf.empty or n_pdf.empty:
-            return _empty_profile() if profile else _empty_result()
+    def kernel(key, p_pdf: pd.DataFrame, dl: np.ndarray) -> pd.DataFrame:
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size
-        dl = _norms_dl(n_pdf)
         nd = dl.size
         by_term = _postings_by_term(p_pdf, need_df=dfs is None)
         # tombstone/filter mask applied at contribution time so the working
@@ -518,12 +520,9 @@ def _make_wand_kernel(qtf, N, avgdl, k1, b, shard_size, k,
             if self.ptr >= len(self.ids):
                 self.advance()
 
-    def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
-        if p_pdf.empty or n_pdf.empty:
-            return _empty_result()
+    def kernel(key, p_pdf: pd.DataFrame, dl: np.ndarray) -> pd.DataFrame:
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size
-        dl = _norms_dl(n_pdf)
         # dead docs are scored (states must advance past them) but never
         # pushed, so theta stays the k-th best LIVE score — a valid (never
         # inflated) pruning bound for the live top-k
@@ -680,6 +679,17 @@ class IndexHandle:
         self.warmed = False
         self._df_cache: dict[str, int] = {}
         self._df_preloaded = False
+        # driver-resident norms (pyspark Broadcast of {(gen, shard): dl
+        # float64 array}) — set by warm() below the preload cap; enables
+        # the single-input kernel plan in _apply_kernel.
+        self._norms_bcast = None
+        # analyzed-plan cache: (qtf items, k, kernel) -> top-k DataFrame.
+        # A query service sees the same query texts repeatedly; rebuilding
+        # + re-analyzing the identical cogroup plan cost ~45 ms/query
+        # (profiled round 6).  The cache holds PLANS, never results —
+        # every collect re-executes against the live relations — and dies
+        # with the handle (engine.build/upsert/delete reset the handle).
+        self._plan_cache: dict = {}
         # upsert/delete tombstones (GLOBAL doc_ids, sorted) — masked inside
         # the kernels; empty for indexes that never upserted (the common
         # case: zero overhead).  Stats keep counting tombstoned docs until
@@ -745,7 +755,8 @@ class IndexHandle:
         )
 
     def warm(
-        self, postings: bool = True, preload_terms_cap: int = 2_000_000
+        self, postings: bool = True, preload_terms_cap: int = 2_000_000,
+        preload_norms_docs_cap: int = 16_000_000,
     ) -> "IndexHandle":
         """Persist both sides CO-PARTITIONED by (gen, shard): the per-query
         cogroup then reuses the cached partitioning and runs with zero
@@ -754,7 +765,16 @@ class IndexHandle:
         Also preloads the term dictionary (term -> global df) into the
         driver when it has <= ``preload_terms_cap`` entries, eliminating the
         per-query df-lookup job; at web-scale vocabularies the cap keeps the
-        driver safe and lookups stay per-query term-pruned scans."""
+        driver safe and lookups stay per-query term-pruned scans.
+
+        When the corpus has <= ``preload_norms_docs_cap`` docs (int32 doc
+        lengths: 16M docs = 128 MB of float64 arrays, the same order as a
+        large broadcast join side), the norms additionally load into a
+        driver-side broadcast keyed by (gen, shard), switching every query
+        to the single-input kernel plan (_apply_kernel): norm bytes then
+        cross the JVM->Python boundary once per worker instead of once per
+        query per task.  Past the cap — the 100 TB case — queries keep the
+        cogrouped distributed-norms plan unchanged."""
         ts = self.spark.read.parquet(self._term_stats_path())
         if ts.count() <= preload_terms_cap:
             self._df_cache = {
@@ -765,6 +785,29 @@ class IndexHandle:
         n = max(1, int(self.meta["n_shards"])) * max(1, len(self.bases))
         self.norms = self.norms.repartition(n, "gen", "shard").persist()
         self.norms.count()
+        if int(self.meta.get("num_docs", 0)) * max(1, len(self.bases)) <= (
+            preload_norms_docs_cap
+        ):
+            chunks: dict[tuple[int, int], list] = {}
+            for r in self.norms.select(
+                "gen", "shard", "chunk", "doc_lens"
+            ).collect():
+                chunks.setdefault((int(r["gen"]), int(r["shard"])), []).append(
+                    (int(r["chunk"]), r["doc_lens"])
+                )
+            norms_data = {
+                gs: np.concatenate(
+                    [
+                        np.frombuffer(b, dtype="<i4")
+                        for _, b in sorted(rows)
+                    ]
+                ).astype(np.float64)
+                for gs, rows in chunks.items()
+            }
+            # identical layout to _norms_dl (chunk-sorted concat, float64),
+            # so scores and the worker contribution-cache keys are
+            # bit-identical to the cogroup path
+            self._norms_bcast = self.spark.sparkContext.broadcast(norms_data)
         if postings:
             self.postings = self.postings.repartition(
                 n, "gen", "shard"
@@ -776,6 +819,10 @@ class IndexHandle:
     def close(self) -> None:
         self.norms.unpersist()
         self.postings.unpersist()
+        if self._norms_bcast is not None:
+            self._norms_bcast.destroy()
+            self._norms_bcast = None
+        self._plan_cache.clear()
 
 
 _KERNELS = {
@@ -843,10 +890,46 @@ def _scored_df(
     return _apply_kernel(handle, qtf, kernel, _RESULT_SCHEMA)
 
 
-def _apply_kernel(handle: IndexHandle, qtf: dict, kernel, schema) -> DataFrame:
-    """Cogroup the term-pruned postings scan with the norms relation and
-    run a per-(gen, shard) kernel — shared by scoring and profiling."""
+def _apply_kernel(
+    handle: IndexHandle, qtf: dict, kernel, schema, empty_fn=_empty_result
+) -> DataFrame:
+    """Run a per-(gen, shard) kernel over the term-pruned postings scan —
+    shared by scoring, batching and profiling.
+
+    Warmed handles with a driver-resident norms broadcast take the
+    SINGLE-INPUT path: ``groupby(gen, shard).applyInPandas`` over postings
+    only, with the shard's doc-length array fetched from the broadcast
+    inside the task.  vs the cogroup plan this ships one Arrow stream per
+    task instead of two (norm bytes stop crossing the JVM->Python boundary
+    on every query), drops the second grouped sort, and needs no norms
+    scan at all (guide §4: pass only the columns the function needs).
+    The doc-length arrays are built with the exact `_norms_dl` layout, so
+    kernel math and the cross-query contribution-cache keys are unchanged
+    bit-for-bit.
+
+    Handles without the broadcast (cold, or corpora past the warm()
+    preload cap — the 100 TB case, where per-executor norm chunks must
+    stay distributed) keep the cogroup plan: persisted+co-partitioned when
+    warmed, semi-join-pruned norms when cold."""
     postings = handle.postings.where(F.col("term").isin(list(qtf)))
+    bcast = handle._norms_bcast
+    if bcast is not None:
+
+        def run_bcast(key, p_pdf):
+            dl = bcast.value.get((int(key[0]), int(key[1])))
+            if p_pdf.empty or dl is None:
+                return empty_fn()
+            return kernel(key, p_pdf, dl)
+
+        return postings.groupby("gen", "shard").applyInPandas(
+            run_bcast, schema
+        )
+
+    def run_cogroup(key, p_pdf, n_pdf):
+        if p_pdf.empty or n_pdf.empty:
+            return empty_fn()
+        return kernel(key, p_pdf, _norms_dl(n_pdf))
+
     if handle.warmed:
         # norms are cached + co-partitioned: scanning non-hit shards is free
         # and skipping the semi-join saves one broadcast job per query.
@@ -860,7 +943,7 @@ def _apply_kernel(handle: IndexHandle, qtf: dict, kernel, schema) -> DataFrame:
     return (
         postings.groupby("gen", "shard")
         .cogroup(norms.groupby("gen", "shard"))
-        .applyInPandas(kernel, schema)
+        .applyInPandas(run_cogroup, schema)
     )
 
 
@@ -915,7 +998,9 @@ def profile_query(
         tombs=handle.tombstones if handle.tombstones.size else None,
         profile=True,
     )
-    return decision, _apply_kernel(handle, qtf, kernel, _PROFILE_SCHEMA)
+    return decision, _apply_kernel(
+        handle, qtf, kernel, _PROFILE_SCHEMA, empty_fn=_empty_profile
+    )
 
 
 def search(
@@ -1017,19 +1102,44 @@ def search(
                 filter_doc_ids.select("doc_id"), "doc_id", "left_semi"
             )
     else:
+        # Plan-skeleton cache (prepared-statement shape): a query service
+        # sees the same texts repeatedly, and rebuilding + re-analyzing
+        # the identical plan costs ~45 ms/query (build_df ~31 ms py4j +
+        # first-collect Catalyst work, scripts/probe_query_phases.py).
+        # Cached per handle and keyed on everything the plan closes over
+        # — (qtf, k, kernel choice); dfs/tombstones/meta are fixed per
+        # handle, and every index mutation replaces the handle.  Each
+        # collect on the cached DataFrame re-executes the plan against
+        # the live relations: plans are cached, results never.
+        ck = (
+            tuple(sorted(qtf.items())), k,
+            kernel or ("wand" if use_wand else None), bool(use_wand),
+        )
+        cached = handle._plan_cache.get(ck)
+        if cached is not None:
+            return _with_meta(handle, cached, k) if include_meta else cached
         scored = _scored_df(
             handle, qtf, k, use_wand,
             kernel_name=kernel or ("wand" if use_wand else None),
         )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if len(handle._plan_cache) >= 512:  # bounded: wholesale clear
+            handle._plan_cache.clear()
+        handle._plan_cache[ck] = topk
+        return _with_meta(handle, topk, k) if include_meta else topk
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if include_meta:
-        dm = handle.doc_meta_df()
-        topk = (
-            dm.join(F.broadcast(topk), "doc_id")
-            .select("doc_id", "score", "repo", "path", "commit", "lang")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
+        topk = _with_meta(handle, topk, k)
     return topk
+
+
+def _with_meta(handle: IndexHandle, topk: DataFrame, k: int) -> DataFrame:
+    dm = handle.doc_meta_df()
+    return (
+        dm.join(F.broadcast(topk), "doc_id")
+        .select("doc_id", "score", "repo", "path", "commit", "lang")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def search_all(
@@ -1127,15 +1237,10 @@ def _make_batch_kernel(queries: dict, N: int, avgdl: float, k1: float,
     allows = allows or {}
     boosts = boosts or {}
 
-    def kernel(key, p_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"query_id": [], "doc_id": [], "score": []}
-        ).astype({"query_id": "str", "doc_id": "int64", "score": "float64"})
-        if p_pdf.empty or n_pdf.empty:
-            return empty
+    def kernel(key, p_pdf: pd.DataFrame, dl: np.ndarray) -> pd.DataFrame:
+        empty = _empty_batch_result()
         gen, shard = int(key[0]), int(key[1])
         base = shard * shard_size
-        dl = _norms_dl(n_pdf)
         by_term = _postings_by_term(p_pdf, need_df=dfs is None)
         tl = (
             _tomb_local(tombs, base + bases[gen], dl.size)
@@ -1221,18 +1326,10 @@ def _scored_many(
         tombs=handle.tombstones if handle.tombstones.size else None,
         allows=allows, boosts=boost_arrs,
     )
-    postings = handle.postings.where(F.col("term").isin(terms))
-    if handle.warmed:
-        norms = handle.norms
-    else:
-        hit_shards = postings.select("gen", "shard").distinct()
-        norms = handle.norms.join(
-            F.broadcast(hit_shards), ["gen", "shard"], "left_semi"
-        )
-    return (
-        postings.groupby("gen", "shard")
-        .cogroup(norms.groupby("gen", "shard"))
-        .applyInPandas(kernel, "query_id string, doc_id long, score double")
+    return _apply_kernel(
+        handle, {t: 1 for t in terms}, kernel,
+        "query_id string, doc_id long, score double",
+        empty_fn=_empty_batch_result,
     )
 
 
