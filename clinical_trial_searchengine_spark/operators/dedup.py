@@ -111,6 +111,12 @@ def ngram_jaccard_pairs(
     shingle.  ``prefix_filter=False`` keeps the naive one-shuffle shape
     (cheaper on small candidate sets, e.g. post-LSH verify).
     """
+    from clinical_trial_searchengine_spark.partitioning import (
+        spread_for_compute,
+    )
+
+    # shingling is regex-heavy; spread single-row-group scans (guide §2.5)
+    df = spread_for_compute(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(shingle_expr(text_col, n))).alias("shingle"),
@@ -292,8 +298,18 @@ def minhash_lsh_duplicates(
     exact shingle Jaccard when ``verify=True``.  Returns
     (id_a, id_b [, jaccard]).
     """
+    from pyspark import StorageLevel
+
+    from clinical_trial_searchengine_spark.partitioning import (
+        spread_for_compute,
+    )
+
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # the signature kernel is the operator's single heaviest stage; a
+    # single-row-group input would run it on one core (guide §2.5) —
+    # spread is a no-op when the scan already has enough splits
+    df = spread_for_compute(df)
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature_udf(num_hashes, n)(F.col(text_col)).alias("sig"),
@@ -307,6 +323,13 @@ def minhash_lsh_duplicates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band"), F.col("bb.bucket"))
+    # both sides of the bucket self-join are this same relation; without a
+    # persist the signature UDF subtree evaluates once PER SIDE (exchange
+    # reuse is not guaranteed across the join inputs) — measured 2x the
+    # operator's dominant stage.  The banded relation is tiny next to the
+    # texts (id + 2 ints, bands rows/doc); ContextCleaner unpersists it
+    # when the result goes unreachable.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -322,8 +345,6 @@ def minhash_lsh_duplicates(
     # set is LSH-bounded (pairs sharing a band bucket), and Spark's
     # ContextCleaner unpersists it once the returned DataFrame is
     # unreachable.
-    from pyspark import StorageLevel
-
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     # Exact-Jaccard verify with BUILT-INS only (JVM-side): the old path
     # shipped both full texts to a pandas UDF and re-shingled each side
@@ -351,6 +372,10 @@ def minhash_lsh_duplicates(
             "id", F.explode(F.expr(shingle_expr(text_col, n))).alias("sh")
         )
     )
+    # sh feeds three consumers (sizes + both sides of the intersection
+    # join): unpersisted, the candidate-doc shingle explode re-runs per
+    # reference.  Bounded like cand (LSH-selected docs only).
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand
@@ -459,8 +484,14 @@ def simhash_duplicates(
     within distance shares >= 1 exact band -> equi-join per band, then exact
     hamming via bit_count(xor) filter. No quadratic blowup.
     """
+    from clinical_trial_searchengine_spark.partitioning import (
+        spread_for_compute,
+    )
+
     n_bands = max_hamming + 1
     width = 64 // n_bands
+    # single-row-group inputs would run the signature kernel on one core
+    df = spread_for_compute(df)
     sh = df.select(
         F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sim")
     )

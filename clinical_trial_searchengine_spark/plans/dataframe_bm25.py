@@ -33,6 +33,11 @@ def tokens_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# One-pass conditional aggregation handles query term-sets up to this
+# size; beyond it (unbounded expression width) the join plan takes over.
+_ONEPASS_MAX_TERMS = 32
+
+
 def bm25_score_all(
     docs: DataFrame,
     query_terms: dict[str, float],
@@ -41,11 +46,80 @@ def bm25_score_all(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """Score every matching doc for {term: qtf}. Returns (doc_id, score)."""
+    """Score every matching doc for {term: qtf}. Returns (doc_id, score).
+
+    Default plan (round 6) is ONE aggregation: the exploded token stream
+    groups by doc_id once, computing dl plus a conditional-sum tf column
+    per query term; (n, avgdl, per-term df) then come from one tiny agg
+    over that relation (broadcast back), and the score is a fixed-order
+    sum of per-term contribution expressions.  vs the old
+    tf/dl/dfreq/join cascade this removes the second tokenize+explode
+    pass and three shuffles (the (doc, term)-keyed tf exchange, the
+    tf⋈dl sort-merge join, the dfreq agg) — measured 4.0 -> 1.0 s on the
+    50k-doc single-file table.  Per-doc scores are identical: the same
+    contributions summed in a fixed term order instead of hash-agg order
+    (a <=1e-15 relative difference washed out by the caller's rounding,
+    exactly as the DuckDB oracle's own sum order already is).  Queries
+    wider than ``_ONEPASS_MAX_TERMS`` keep the join plan, whose cost does
+    not grow with expression width."""
+    from clinical_trial_searchengine_spark.partitioning import (
+        spread_for_compute,
+    )
+
     spark = docs.sparkSession
+    # tokenize+explode is the expensive stage; spread single-row-group
+    # scans so it parallelizes (guide §2.5 — no-op on real multi-split
+    # inputs)
+    docs = spread_for_compute(docs)
     tok = tokens_df(docs, text_col, id_col)
+    terms = sorted(query_terms)
+    if 0 < len(terms) <= _ONEPASS_MAX_TERMS:
+        aggs = [F.count("*").cast("double").alias("dl")] + [
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("double").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ]
+        per_doc = tok.groupBy("doc_id").agg(*aggs)
+        stat_aggs = [
+            F.count("*").cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        ] + [
+            F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0))
+            .cast("double").alias(f"_df{i}")
+            for i in range(len(terms))
+        ]
+        stats = per_doc.agg(*stat_aggs)
+        contrib = None
+        match = None
+        for i, t in enumerate(terms):
+            c = (
+                F.lit(float(query_terms[t]))
+                * F.log(
+                    1.0
+                    + (F.col("n") - F.col(f"_df{i}") + 0.5)
+                    / (F.col(f"_df{i}") + 0.5)
+                )
+                * F.col(f"_tf{i}")
+                / (
+                    F.col(f"_tf{i}")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            )
+            contrib = c if contrib is None else contrib + c
+            m = F.col(f"_tf{i}") > 0
+            match = m if match is None else match | m
+        return (
+            per_doc.crossJoin(F.broadcast(stats))
+            .where(match)
+            .select("doc_id", contrib.alias("score"))
+        )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    # dl = total token count per doc == sum of per-term tfs: deriving it
+    # from tf instead of re-aggregating `tok` removes the SECOND full
+    # tokenize+explode pass over the corpus (the tf/dl subtrees don't
+    # share an exchange, so each reference re-ran the scan+regex).
+    # Integer-exact: sum(tf) and count(*) are the same number.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )
