@@ -888,14 +888,25 @@ def build_index(
             )
     if ("stats", 0) not in done:
         start = time.time()
+        # pyarrow source, NOT a python-list row: writing a pickled-RDD-
+        # backed DataFrame runs a plain python worker whose per-task
+        # setup cost dominates (measured 4+ s for this one row pre-
+        # fastdaemon; the Arrow path plans as a local table, ~0.1 s).
+        # pa.array keeps None as a true NULL (a pandas NaN would not).
+        import pyarrow as pa
+
         spark.createDataFrame(
-            [
+            pa.table(
                 {
-                    "num_docs": num_docs,
-                    "avg_doc_len": stats_row["avg_doc_len"],
-                    "total_terms": stats_row["total_terms"],
+                    "num_docs": pa.array([int(num_docs)], pa.int64()),
+                    "avg_doc_len": pa.array(
+                        [stats_row["avg_doc_len"]], pa.float64()
+                    ),
+                    "total_terms": pa.array(
+                        [stats_row["total_terms"]], pa.int64()
+                    ),
                 }
-            ],
+            ),
             "num_docs long, avg_doc_len double, total_terms long",
         ).coalesce(1).write.mode("overwrite").parquet(
             seg.path_of(index_dir, seg.STATS)

@@ -809,9 +809,30 @@ class IndexHandle:
             # bit-identical to the cogroup path
             self._norms_bcast = self.spark.sparkContext.broadcast(norms_data)
         if postings:
-            self.postings = self.postings.repartition(
-                n, "gen", "shard"
-            ).persist()
+            if self._norms_bcast is not None:
+                # single-input plan: FlatMapGroupsInPandas requires only
+                # ClusteredDistribution(gen, shard), which a shard-keyed
+                # RangePartitioning satisfies (ordering exprs ⊆
+                # clustering exprs) — keying on the gen column would NOT:
+                # single-generation relations carry gen as a literal, the
+                # cached partitioning canonicalizes to hash(0, shard) /
+                # range(0, shard), and the satisfies-check then fails,
+                # putting an Exchange (+ AQE coalescing the tiny filtered
+                # shuffle to ONE task — every shard kernel then ran
+                # serially in one worker, measured 3.6x on heavy kernels)
+                # back into every query.  Range > hash here: n distinct
+                # shard values over n partitions land exactly one shard
+                # per task (hash collisions at n keys / n partitions left
+                # ~25% of tasks holding 2 serial kernels).
+                self.postings = self.postings.repartitionByRange(
+                    n, "shard"
+                ).persist()
+            else:
+                # cogroup plan (past-cap corpora): both sides must stay
+                # co-partitioned on the exact grouping keys
+                self.postings = self.postings.repartition(
+                    n, "gen", "shard"
+                ).persist()
             self.postings.count()
             self.warmed = True
         return self
@@ -862,6 +883,7 @@ def _scored_df(
 ) -> DataFrame:
     meta = handle.meta
     dfs = handle.global_dfs(qtf)
+    n_cand = sum(dfs.get(t, 0) for t in qtf)
     if boost_arrs is not None:
         # a multiplier >1 can promote a doc past any unboosted block-max
         # upper bound, so pruning is inadmissible under pushed boost —
@@ -873,7 +895,6 @@ def _scored_df(
         # candidate pool dwarfs k — rare-term/no-hit queries never fill
         # the heap threshold, so every block stays competitive and the
         # per-block upper-bound pass is pure overhead
-        n_cand = sum(dfs.get(t, 0) for t in qtf)
         kernel_name = "pruned" if n_cand > 16 * k else "exhaustive"
     kernel_name = kernel_name or ("wand" if use_wand else "exhaustive")
     make = _KERNELS[_KERNEL_ALIASES.get(kernel_name, kernel_name)]
@@ -887,11 +908,31 @@ def _scored_df(
         tombs=handle.tombstones if handle.tombstones.size else None,
         allow=allow, **extra,
     )
-    return _apply_kernel(handle, qtf, kernel, _RESULT_SCHEMA)
+    # Execution-width choice (driver-side, from the same dfs the kernel
+    # choice uses): a cache-served light query's whole kernel pass costs
+    # less than one python-task round trip per shard, so running all
+    # shard groups in ONE task (coalesce of the cached scan — a narrow
+    # dependency, no shuffle) beats an n_shards-task wave; past the cap
+    # the per-shard kernels are the cost and must run in parallel.
+    # wand_ref bypasses the contribution cache (decode every time), so it
+    # always spreads.
+    resolved = _KERNEL_ALIASES.get(kernel_name, kernel_name)
+    one_task = resolved != "wand_ref" and n_cand <= _COALESCE_CAP
+    return _apply_kernel(
+        handle, qtf, kernel, _RESULT_SCHEMA, one_task=one_task
+    )
+
+
+# Candidate-postings volume below which a single-task kernel pass beats
+# an n_shards-wide task wave (cache-served accumulate ~80 ns/posting vs
+# ~10 ms/python-task dispatch: break-even around a million postings; set
+# conservatively).  Driver-side estimate from exact global dfs.
+_COALESCE_CAP = 1 << 19
 
 
 def _apply_kernel(
-    handle: IndexHandle, qtf: dict, kernel, schema, empty_fn=_empty_result
+    handle: IndexHandle, qtf: dict, kernel, schema, empty_fn=_empty_result,
+    one_task: bool = False,
 ) -> DataFrame:
     """Run a per-(gen, shard) kernel over the term-pruned postings scan —
     shared by scoring, batching and profiling.
@@ -914,6 +955,21 @@ def _apply_kernel(
     postings = handle.postings.where(F.col("term").isin(list(qtf)))
     bcast = handle._norms_bcast
     if bcast is not None:
+        # Explicit kernel-stage width (REPARTITION_BY_NUM — AQE respects
+        # it): the term-pruned rows are tiny (<= |terms| x shards posting
+        # buffers), so this exchange costs ~nothing, while keeping the
+        # SCAN+filter parallel across the cached partitions.  Width 1 for
+        # cache-light queries (one python-task round trip instead of a
+        # task per shard: the whole kernel pass is cheaper than the wave);
+        # 4x the group count for heavy queries so every shard kernel gets
+        # its own task (at 1x, hash collisions made ~25% of tasks run two
+        # kernels serially).  A coalesce(1) instead would serialize the
+        # scan itself (measured +20 ms) — the narrow dependency folds the
+        # filter into the single task.
+        w = 1 if one_task else (
+            4 * max(1, int(handle.meta["n_shards"])) * len(handle.bases)
+        )
+        postings = postings.repartition(w, "gen", "shard")
 
         def run_bcast(key, p_pdf):
             dl = bcast.value.get((int(key[0]), int(key[1])))

@@ -17,6 +17,18 @@ def get_spark(
     spark-submit --py-files and these conf defaults still apply.
     """
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    # Make the package root importable by the python DAEMON (it launches
+    # with the JVM's env PYTHONPATH, which normally holds only the spark
+    # zips), so spark.python.daemon.module below can point at
+    # fastdaemon — the per-task zipimport-TOC-re-read fix for workers
+    # that never import this package (see fastdaemon docstring).  Must
+    # happen before the gateway JVM starts; a no-op afterwards.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + _pp if _pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -56,6 +68,13 @@ def get_spark(
             os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
         )
         .config("spark.ui.enabled", "false")
+        # zipimport-guarded daemon: workers fork from it already patched
+        # (plain-RDD workers otherwise pay a full zip-TOC re-read per
+        # task on CPython 3.11 — see fastdaemon)
+        .config(
+            "spark.python.daemon.module",
+            "clinical_trial_searchengine_spark.fastdaemon",
+        )
     )
     if shuffle_partitions is not None:
         builder = builder.config(
