@@ -363,20 +363,16 @@ def _encode_bucket_group(pdf: pd.DataFrame,
     )
 
 
-def _encode_bucket_group_arrow(table, codec: str = "varint"):
-    """applyInArrow twin of :func:`_encode_bucket_group` — the default
-    encode path.  Same output rows in the same (term-ascending) order,
-    property-tested; the win is that the group's term column never becomes
-    a pandas object array (one PyObject per (doc, term) pair), it stays an
-    Arrow buffer dictionary-encoded in C++.  Like the Arrow tokenizer this
-    removes per-row allocator/memory-bus traffic, which is what limits
-    multi-executor build scaling on one socket."""
+def _encode_term_arrays(shard, salt, term_array, doc_ids, tfs,
+                        codec: str = "varint"):
+    """Shared encode body: one group's (term StringArray, doc_ids uint64,
+    tfs uint64) -> encoded per-term rows (term-ascending), the single
+    source of truth for both the pair-row encode path and the packed
+    shuffle path (byte identity between them is by construction)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    shard = table.column("shard")[0].as_py()
-    salt = table.column("salt")[0].as_py()
-    denc = pc.dictionary_encode(table.column("term").combine_chunks())
+    denc = pc.dictionary_encode(term_array)
     codes = denc.indices.to_numpy().astype(np.int64)
     dic = denc.dictionary
     # rank codes under lexicographic term order == factorize(sort=True)
@@ -384,14 +380,6 @@ def _encode_bucket_group_arrow(table, codec: str = "varint"):
     rank = np.empty(len(dic), dtype=np.int64)
     rank[sorter] = np.arange(len(dic))
     ranked = rank[codes]
-    doc_ids = (
-        table.column("doc_id").combine_chunks()
-        .to_numpy(zero_copy_only=False).astype(np.uint64)
-    )
-    tfs = (
-        table.column("tf").combine_chunks()
-        .to_numpy(zero_copy_only=False).astype(np.uint64)
-    )
     order = np.lexsort((doc_ids, ranked))
     ranked, doc_ids, tfs = ranked[order], doc_ids[order], tfs[order]
     change = np.flatnonzero(
@@ -416,12 +404,237 @@ def _encode_bucket_group_arrow(table, codec: str = "varint"):
     )
 
 
+def _encode_bucket_group_arrow(table, codec: str = "varint"):
+    """applyInArrow twin of :func:`_encode_bucket_group` — the pair-row
+    encode path (non-fused builds).  Same output rows in the same
+    (term-ascending) order, property-tested; the win is that the group's
+    term column never becomes a pandas object array (one PyObject per
+    (doc, term) pair), it stays an Arrow buffer dictionary-encoded in
+    C++.  Like the Arrow tokenizer this removes per-row allocator/
+    memory-bus traffic, which is what limits multi-executor build scaling
+    on one socket."""
+    shard = table.column("shard")[0].as_py()
+    salt = table.column("salt")[0].as_py()
+    doc_ids = (
+        table.column("doc_id").combine_chunks()
+        .to_numpy(zero_copy_only=False).astype(np.uint64)
+    )
+    tfs = (
+        table.column("tf").combine_chunks()
+        .to_numpy(zero_copy_only=False).astype(np.uint64)
+    )
+    return _encode_term_arrays(
+        shard, salt, table.column("term").combine_chunks(), doc_ids, tfs,
+        codec,
+    )
+
+
 def _make_encode_bucket_group_arrow(codec: str = "varint"):
     """Closure wrapper for applyInArrow (which introspects the callable, so
     a functools.partial won't do)."""
 
     def _encode(table):
         return _encode_bucket_group_arrow(table, codec)
+
+    return _encode
+
+
+# ---------------------------------------------------------------------------
+# packed encode shuffle (fused standard builds)
+# ---------------------------------------------------------------------------
+
+# One row per (map task, shard, term_bucket, salt): all of that group's
+# pairs as four flat binary columns.  The encode exchange then moves
+# ~10^5 fat rows instead of one row per (doc, term) pair — same bytes,
+# ~500x fewer rows — which removes the per-row UnsafeRow serialize/
+# deserialize + sort + Arrow-conversion costs that dominated the build's
+# shuffle stages (guide §2.3 / §8: shuffle few fat rows, not many small
+# ones, when the grouping is already decided).
+_PACK_SCHEMA = (
+    "shard int, bucket int, salt int, term_lens binary, term_data binary, "
+    "doc_ids binary, tfs binary"
+)
+
+
+def _string_array_parts(arr):
+    """(data uint8[], starts int64[], lens int64[]) of a utf8 pa.Array."""
+    import pyarrow as pa  # noqa: F401
+
+    arr = arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, offs[:-1], np.diff(offs)
+
+
+def make_tokenize_pack_kernel_arrow(
+    mode: str, shard_size: int, term_buckets: int, hot_salts: dict
+):
+    """mapInArrow kernel: (doc_id, content) batches -> packed group rows.
+
+    Tokenizes like :func:`make_tokenize_pairs_kernel_arrow`, then — instead
+    of emitting one row per (doc, term) pair into the exchange — assigns
+    each pair its (shard, term_bucket, salt) key IN the kernel (bucket =
+    crc32(term) % buckets via the vectorized dictionary hash; salt from
+    the driver-collected hot-term plan, replicating the JVM expression
+    ``cast((doc_id % shard_size) * n_salts / shard_size as int)`` exactly:
+    int64 product, float64 divide, truncate) and packs each group's pairs
+    into one row of flat buffers.  Term strings stay Arrow buffers end to
+    end (per-pair materialization is a C++ ``pc.take`` + slice).
+
+    The bucket function differs from the pair-row path's xxhash64 — it
+    only decides GROUPING, never bytes: every pair of a term keeps one
+    bucket, the write pass re-buckets encoded rows with the JVM hash as
+    before, and the salted==unsalted byte-identity property is untouched.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from clinical_trial_searchengine_spark.functions.analysis import (
+        analyze_flat_arrow,
+    )
+    from clinical_trial_searchengine_spark.functions.vechash import (
+        crc32_many,
+    )
+
+    def kernel(batches):
+        term_parts = []
+        did_parts, tf_parts = [], []
+        shard_parts, bucket_parts, salt_parts = [], [], []
+        for batch in batches:
+            names = batch.schema.names
+            doc_ids = (
+                batch.column(names.index("doc_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            row_idx, dict_idx, dictionary, tfs, _ = analyze_flat_arrow(
+                batch.column(names.index("content")), mode
+            )
+            if len(dict_idx) == 0:
+                continue
+            dict_idx = np.asarray(dict_idx, dtype=np.int64)
+            # per-TERM bucket + n_salts, computed once per batch vocab
+            data, starts, lens = _string_array_parts(dictionary)
+            b_term = (
+                crc32_many(data, starts, lens).astype(np.int64)
+                % term_buckets
+            ).astype(np.int32)
+            if hot_salts:
+                ns_term = np.fromiter(
+                    (hot_salts.get(t, 1) for t in dictionary.to_pylist()),
+                    dtype=np.int64, count=len(dictionary),
+                )
+            else:
+                ns_term = np.ones(len(dictionary), dtype=np.int64)
+            dids = doc_ids[row_idx]
+            local = dids % shard_size
+            ns = ns_term[dict_idx]
+            term_parts.append(
+                pc.take(dictionary, pa.array(dict_idx, type=pa.int64()))
+            )
+            did_parts.append(dids)
+            tf_parts.append(np.asarray(tfs, dtype=np.int32))
+            shard_parts.append((dids // shard_size).astype(np.int32))
+            bucket_parts.append(b_term[dict_idx])
+            salt_parts.append(
+                ((local * ns).astype(np.float64) / shard_size).astype(
+                    np.int32
+                )
+            )
+        if not did_parts:
+            return
+        terms = pa.concat_arrays(
+            [t.combine_chunks() if hasattr(t, "combine_chunks") else t
+             for t in term_parts]
+        )
+        dids = np.concatenate(did_parts)
+        tfs = np.concatenate(tf_parts)
+        shards = np.concatenate(shard_parts)
+        buckets = np.concatenate(bucket_parts)
+        salts = np.concatenate(salt_parts)
+        order = np.lexsort((salts, buckets, shards))
+        terms = pc.take(terms, pa.array(order))
+        dids, tfs = dids[order], tfs[order]
+        shards, buckets, salts = shards[order], buckets[order], salts[order]
+        key = (
+            shards.astype(np.int64) << 40
+        ) | (buckets.astype(np.int64) << 20) | salts.astype(np.int64)
+        change = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1]))
+        )
+        bounds = np.append(change, len(key))
+        t_data, t_starts, t_lens = _string_array_parts(terms)
+        rows = {
+            "shard": [], "bucket": [], "salt": [], "term_lens": [],
+            "term_data": [], "doc_ids": [], "tfs": [],
+        }
+        for gi in range(len(change)):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            rows["shard"].append(int(shards[s]))
+            rows["bucket"].append(int(buckets[s]))
+            rows["salt"].append(int(salts[s]))
+            rows["term_lens"].append(
+                t_lens[s:e].astype(np.int32).tobytes()
+            )
+            b0 = int(t_starts[s])
+            b1 = int(t_starts[e - 1] + t_lens[e - 1]) if e > s else b0
+            rows["term_data"].append(t_data[b0:b1].tobytes())
+            rows["doc_ids"].append(dids[s:e].tobytes())
+            rows["tfs"].append(tfs[s:e].tobytes())
+        yield pa.RecordBatch.from_pydict(
+            {
+                "shard": pa.array(rows["shard"], pa.int32()),
+                "bucket": pa.array(rows["bucket"], pa.int32()),
+                "salt": pa.array(rows["salt"], pa.int32()),
+                "term_lens": pa.array(rows["term_lens"], pa.binary()),
+                "term_data": pa.array(rows["term_data"], pa.binary()),
+                "doc_ids": pa.array(rows["doc_ids"], pa.binary()),
+                "tfs": pa.array(rows["tfs"], pa.binary()),
+            }
+        )
+
+    return kernel
+
+
+def _make_unpack_encode_arrow(codec: str = "varint"):
+    """applyInArrow kernel over (shard, bucket, salt) groups of PACKED
+    rows: rebuild each row's term StringArray zero-copy from its
+    (term_lens, term_data) buffers, concatenate the group's pairs, and
+    encode via the same :func:`_encode_term_arrays` body as the pair-row
+    path — identical output rows by construction."""
+    import pyarrow as pa
+
+    def _encode(table):
+        shard = table.column("shard")[0].as_py()
+        salt = table.column("salt")[0].as_py()
+        t_arrays, did_parts, tf_parts = [], [], []
+        tl_col = table.column("term_lens")
+        td_col = table.column("term_data")
+        di_col = table.column("doc_ids")
+        tf_col = table.column("tfs")
+        for i in range(table.num_rows):
+            lens = np.frombuffer(tl_col[i].as_py(), dtype=np.int32)
+            n = len(lens)
+            offs = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lens, out=offs[1:])
+            t_arrays.append(
+                pa.Array.from_buffers(
+                    pa.utf8(), n,
+                    [None, pa.py_buffer(offs.tobytes()),
+                     pa.py_buffer(td_col[i].as_py())],
+                )
+            )
+            did_parts.append(
+                np.frombuffer(di_col[i].as_py(), dtype=np.int64)
+            )
+            tf_parts.append(np.frombuffer(tf_col[i].as_py(), dtype=np.int32))
+        terms = pa.concat_arrays(t_arrays)
+        doc_ids = np.concatenate(did_parts).astype(np.uint64)
+        tfs = np.concatenate(tf_parts).astype(np.uint64)
+        return _encode_term_arrays(shard, salt, terms, doc_ids, tfs, codec)
 
     return _encode
 
@@ -1019,13 +1232,42 @@ def build_index(
         n_encode_parts = max(
             32, 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         )
-        encoded = (
-            salted.repartition(n_encode_parts, "shard", "bucket", "salt")
-            .groupBy("shard", "bucket", "salt")
-            .applyInArrow(
-                _make_encode_bucket_group_arrow(postings_codec), enc_schema
+        if fuse:
+            # PACKED encode shuffle (round 6): the tokenize kernel assigns
+            # (shard, bucket, salt) itself and emits ONE row per group per
+            # map task (flat term/doc/tf buffers) instead of one row per
+            # pair.  Same shuffled bytes, ~500x fewer rows: the per-row
+            # UnsafeRow serialize/deserialize, the reduce-side sort of
+            # every pair, and the per-pair Arrow conversion — measured as
+            # ~5/6 of the two shuffle stages' 900 task-seconds, vs ~145
+            # task-seconds of actual tokenize+encode python — collapse to
+            # per-group costs.  Output rows are byte-identical: the
+            # unpack kernel feeds the same _encode_term_arrays body.
+            packed = docs.select("doc_id", "content").mapInArrow(
+                make_tokenize_pack_kernel_arrow(
+                    mode, shard_size, term_buckets,
+                    {r["term"]: int(r["n_salts"]) for r in hot_rows},
+                ),
+                _PACK_SCHEMA,
             )
-        )
+            encoded = (
+                packed.repartition(
+                    n_encode_parts, "shard", "bucket", "salt"
+                )
+                .groupBy("shard", "bucket", "salt")
+                .applyInArrow(
+                    _make_unpack_encode_arrow(postings_codec), enc_schema
+                )
+            )
+        else:
+            encoded = (
+                salted.repartition(n_encode_parts, "shard", "bucket", "salt")
+                .groupBy("shard", "bucket", "salt")
+                .applyInArrow(
+                    _make_encode_bucket_group_arrow(postings_codec),
+                    enc_schema,
+                )
+            )
 
         merge_schema = (
             "shard int, term string, n_postings long, cf_local long, "
