@@ -51,7 +51,14 @@ def cosine_topk(
     the scan stays in whole-stage codegen; top-k is TakeOrderedAndProject.
     Ordering uses the ROUNDED score + id tie-break so an oracle computing
     the same rounded value picks identical boundary rows."""
+    from clinical_trial_searchengine_spark.partitioning import (
+        spread_for_compute,
+    )
+
     qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    # dot products over a single-row-group scan run on one core (guide
+    # §2.5); spread is a no-op on real multi-split inputs
+    emb = spread_for_compute(emb)
     return (
         emb.select(
             F.col(id_col),
@@ -107,7 +114,11 @@ def cosine_knn_join(
             }
             yield pd.DataFrame(rows)
 
-    partial = emb.select(id_col, vec_col).mapInPandas(
+    from clinical_trial_searchengine_spark.partitioning import (
+        spread_for_compute,
+    )
+
+    partial = spread_for_compute(emb.select(id_col, vec_col)).mapInPandas(
         part, f"{query_id_col} string, {id_col} long, cosine double"
     )
     from pyspark.sql import Window
