@@ -78,12 +78,22 @@ class BatchingSearchServer:
         engine: "SearchEngine",
         max_batch: int = 64,
         max_wait_ms: float = 0.0,
-        max_inflight: int = 2,
+        max_inflight: int | None = None,
     ):
         from concurrent.futures import ThreadPoolExecutor
 
         self.engine = engine
         engine.handle()  # resolve once, before any pool thread can race
+        if max_inflight is None:
+            # adaptive default: under light load batches drain small and
+            # fast, so the pipeline must be deep enough that the driver's
+            # per-batch fixed cost (plan build + submit + merge) overlaps
+            # across batches — measured 35 qps at depth 2 vs ~50-70 at
+            # 4-6 on 32 cores with ~4-query batches.  Scale with cores,
+            # floor 2 (the round-4 value, right for small machines).
+            max_inflight = max(
+                2, int(engine.spark.sparkContext.defaultParallelism) // 8
+            )
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._queue: list[_Request] = []
