@@ -57,8 +57,9 @@ def cosine_topk(
 
     qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
     # dot products over a single-row-group scan run on one core (guide
-    # §2.5); spread is a no-op on real multi-split inputs
-    emb = spread_for_compute(emb)
+    # §2.5); spread is a no-op on real multi-split inputs, and skipped
+    # for tiny tables where the shuffle costs more than the serial scan
+    emb = spread_for_compute(emb, min_bytes=4 << 20)
     return (
         emb.select(
             F.col(id_col),
@@ -118,7 +119,9 @@ def cosine_knn_join(
         spread_for_compute,
     )
 
-    partial = spread_for_compute(emb.select(id_col, vec_col)).mapInPandas(
+    partial = spread_for_compute(
+        emb.select(id_col, vec_col), min_bytes=4 << 20
+    ).mapInPandas(
         part, f"{query_id_col} string, {id_col} long, cosine double"
     )
     from pyspark.sql import Window

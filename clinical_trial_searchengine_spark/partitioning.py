@@ -21,11 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread_for_compute(df: DataFrame, min_fill: float = 0.5) -> DataFrame:
+def spread_for_compute(
+    df: DataFrame, min_fill: float = 0.5, min_bytes: int = 0
+) -> DataFrame:
     """Round-robin repartition ``df`` to the cluster's default parallelism
     when its current partition count is below ``min_fill`` of it; no-op
     otherwise (the at-scale case).  Row-level semantics are unchanged —
-    callers are aggregations/joins that do not depend on row order."""
+    callers are aggregations/joins that do not depend on row order.
+
+    ``min_bytes``: additionally skip the spread when the optimizer's
+    size estimate is below this — for operators whose per-byte compute
+    is cheap (e.g. dot products), the repartition shuffle of a tiny
+    input costs more than the serial scan it parallelizes (measured:
+    +40 ms on a 0.5 MB embeddings table vs -90 ms on the 12 MB one).
+    Heavy-per-byte operators (signatures, shingling) pass 0."""
     sc = df.sparkSession.sparkContext
     target = max(1, int(sc.defaultParallelism))
     try:
@@ -34,4 +43,14 @@ def spread_for_compute(df: DataFrame, min_fill: float = 0.5) -> DataFrame:
         return df
     if current >= max(1, int(target * min_fill)):
         return df
+    if min_bytes > 0:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+            if est < min_bytes:
+                return df
+        except Exception:
+            pass
     return df.repartition(target)
