@@ -775,6 +775,10 @@ class IndexHandle:
         cross the JVM->Python boundary once per worker instead of once per
         query per task.  Past the cap — the 100 TB case — queries keep the
         cogrouped distributed-norms plan unchanged."""
+        # plans built pre-warm reference the unpersisted relations /
+        # cogroup path; correct but slow — rebuild them against the
+        # warmed layout
+        self._plan_cache.clear()
         ts = self.spark.read.parquet(self._term_stats_path())
         if ts.count() <= preload_terms_cap:
             self._df_cache = {

@@ -153,20 +153,30 @@ def main() -> None:
     eng.warm(postings=True)
     warm = eng.search("merge join filter", k=10)
     plan = explain(warm)
-    n_exchanges = plan.count("Exchange")
-    ok = "InMemoryTableScan" in plan
+    ok_scan = "InMemoryTableScan" in plan
+    ok_single = "FlatMapGroupsInPandas" in plan and (
+        "FlatMapCoGroupsInPandas" not in plan
+    )
     sections.append((
         "Segment engine query, warmed",
-        "After warm(), postings+norms are persisted CO-PARTITIONED by "
-        "shard: the per-query cogroup reuses the cached partitioning — the "
-        f"plan reads from InMemoryTableScan ({'OK' if ok else 'MISSING'}) "
-        f"and contains {n_exchanges} Exchange node(s) for the scoring path "
-        "(only the driver-side top-k singlePartition exchange is expected).",
+        "After warm(), postings are persisted (range-partitioned by "
+        "shard) and the norms ride a driver broadcast, so the query is a "
+        "SINGLE-INPUT python stage: cached scan -> term filter -> one "
+        "explicit kernel-width repartition (REPARTITION_BY_NUM of the "
+        "tiny term-pruned rows; width 1 for cache-light queries, 4x the "
+        "group count for heavy ones) -> FlatMapGroupsInPandas -> "
+        "TakeOrderedAndProject.  No cogroup, no norms scan, no per-query "
+        "norm bytes across the JVM/Python boundary.",
         plan,
-        [("InMemoryTableScan", ok)],
+        [
+            ("InMemoryTableScan", ok_scan),
+            ("single-input kernel (no cogroup)", ok_single),
+        ],
     ))
-    if not ok:
+    if not ok_scan:
         failures.append("warmed query: InMemoryTableScan")
+    if not ok_single:
+        failures.append("warmed query: single-input kernel")
 
     # 5c. selective-filter pushdown: the allow-mask rides the kernel closure
     dm = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
@@ -208,19 +218,21 @@ def main() -> None:
         "Segment engine batch, oversized-filter fallback (B4 batch)",
         "Queries whose filter tables exceed the push cap take the exact "
         "score-then-join path — as ONE job for the whole set: a single "
-        "batch-kernel cogroup scores all fallback queries in one postings "
-        "pass, the unioned DISTINCT per-query allow-lists join once on "
-        "(query_id, doc_id) (left join + keep predicate == left-semi row "
-        "semantics, but without the where/union split that would "
-        "re-evaluate the kernel subtree per branch), and the per-query "
-        "top-k is one window.  A per-query search() loop here (the "
-        "round-4 shape) would cost Q sequential jobs.",
+        "batch kernel (single-input on warmed/broadcast-norm handles, "
+        "cogroup past the norms cap) scores all fallback queries in one "
+        "postings pass, the unioned DISTINCT per-query allow-lists join "
+        "once on (query_id, doc_id) (left join + keep predicate == "
+        "left-semi row semantics, but without the where/union split that "
+        "would re-evaluate the kernel subtree per branch), and the "
+        "per-query top-k is one window.  A per-query search() loop here "
+        "(the round-4 shape) would cost Q sequential jobs.",
         fb,
         [
-            ("exactly one batch-kernel cogroup in the plan",
-             # tree lines read "FlatMapCoGroupsInPandas (NN)"; the node
+            ("exactly one batch kernel in the plan",
+             # tree lines read "FlatMap[Co]GroupsInPandas (NN)"; the node
              # detail section repeats the name as "(NN) FlatMap..."
-             lambda p: p.count("FlatMapCoGroupsInPandas (") == 1),
+             lambda p: p.count("FlatMapGroupsInPandas (")
+             + p.count("FlatMapCoGroupsInPandas (") == 1),
             ("allow-list joined on (query_id, doc_id)",
              lambda p: "Join" in p and "query_id" in p),
             ("per-query top-k window", ["RunningWindowFunction",
