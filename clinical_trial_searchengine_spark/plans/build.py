@@ -217,21 +217,16 @@ def _make_doc_len_col(mode: str):
     expression; porter needs the Python kernel (stopword filter changes the
     count).  Both match analyze_batch exactly."""
     if mode == "standard":
-        # token count WITHOUT materializing tokens: collapse every
-        # [a-z0-9]+ run to a single marker char (ONE regex pass emitting
-        # one string — no per-token java.lang.String, which made the
-        # regexp_extract_all form ~1.6 ms/doc), then count markers with
-        # the char-map translate.  After the replace no original alnum
-        # char survives, so every '\x01' is exactly one token — provided
-        # no LITERAL \x01 was already in the content (it's a separator to
-        # the tokenizer, not a token), so remap those to another
-        # separator first (1:1 translate keeps token boundaries intact).
-        collapsed = F.regexp_replace(
-            F.translate(F.col("content"), "\x01", " "),
-            r"(?i)[a-z0-9]+", "\x01"
-        )
-        return (
-            F.length(collapsed) - F.length(F.translate(collapsed, "\x01", ""))
+        # token count WITHOUT materializing tokens: count maximal alnum
+        # runs directly.  regexp_count never builds an output string
+        # (the previous collapse-to-marker + translate form emitted a
+        # full rewritten copy of the content per row — measured 2.2x
+        # slower on the 500k-doc pass; the even older regexp_extract_all
+        # form materialized a java.lang.String per token, ~1.6 ms/doc).
+        # Values are identical: both count maximal case-insensitive
+        # [a-z0-9]+ runs (verified 0 mismatches over the bench corpus).
+        return F.regexp_count(
+            F.col("content"), F.lit(r"(?i)[a-z0-9]+")
         ).cast("int")
 
     @F.pandas_udf("int")
