@@ -465,24 +465,34 @@ def _string_array_parts(arr):
 
 
 def make_tokenize_pack_kernel_arrow(
-    mode: str, shard_size: int, term_buckets: int, hot_salts: dict
+    mode: str, shard_size: int, term_buckets: int,
+    n_docs: int, hot_df_threshold: int, max_salts: int,
 ):
     """mapInArrow kernel: (doc_id, content) batches -> packed group rows.
 
     Tokenizes like :func:`make_tokenize_pairs_kernel_arrow`, then — instead
     of emitting one row per (doc, term) pair into the exchange — assigns
     each pair its (shard, term_bucket, salt) key IN the kernel (bucket =
-    crc32(term) % buckets via the vectorized dictionary hash; salt from
-    the driver-collected hot-term plan, replicating the JVM expression
-    ``cast((doc_id % shard_size) * n_salts / shard_size as int)`` exactly:
-    int64 product, float64 divide, truncate) and packs each group's pairs
-    into one row of flat buffers.  Term strings stay Arrow buffers end to
-    end (per-pair materialization is a C++ ``pc.take`` + slice).
+    crc32(term) % buckets via the vectorized dictionary hash) and packs
+    each group's pairs into one row of flat buffers.  Term strings stay
+    Arrow buffers end to end (per-pair materialization is a C++
+    ``pc.take`` + slice).
+
+    Hot-term salting is decided PER BATCH from local density: est_df =
+    batch term count x (n_docs / batch docs); n_salts = clamp(ceil(est /
+    hot_df_threshold), 1, max_salts); salt = the same int64-product /
+    float64-divide / truncate expression as the driver plan.  This
+    replaces the driver's sampled salt-plan pre-pass (a whole extra
+    tokenize job per build) — it CAN disagree across batches for
+    borderline terms, which is free: salting only decides grouping, and
+    the write-pass merge kernel already reconciles ARBITRARY runs of a
+    (shard, term) into byte-identical postings (argsort by unique
+    doc_ids — the same property that makes salted == unsalted).
 
     The bucket function differs from the pair-row path's xxhash64 — it
     only decides GROUPING, never bytes: every pair of a term keeps one
     bucket, the write pass re-buckets encoded rows with the JVM hash as
-    before, and the salted==unsalted byte-identity property is untouched.
+    before.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -517,13 +527,19 @@ def make_tokenize_pack_kernel_arrow(
                 crc32_many(data, starts, lens).astype(np.int64)
                 % term_buckets
             ).astype(np.int32)
-            if hot_salts:
-                ns_term = np.fromiter(
-                    (hot_salts.get(t, 1) for t in dictionary.to_pylist()),
-                    dtype=np.int64, count=len(dictionary),
+            # local-density salt estimate (see docstring): df_est =
+            # batch df x corpus/batch doc ratio.  Uses per-batch DISTINCT
+            # doc count per term == bincount of the (doc, term) pairs.
+            n_batch_docs = max(1, len(doc_ids))
+            cnt = np.bincount(dict_idx, minlength=len(dictionary))
+            est = cnt * (float(n_docs) / n_batch_docs)
+            ns_term = np.ones(len(dictionary), dtype=np.int64)
+            hot = est > hot_df_threshold
+            if hot.any():
+                ns_term[hot] = np.minimum(
+                    max_salts,
+                    np.ceil(est[hot] / hot_df_threshold).astype(np.int64),
                 )
-            else:
-                ns_term = np.ones(len(dictionary), dtype=np.int64)
             dids = doc_ids[row_idx]
             local = dids % shard_size
             ns = ns_term[dict_idx]
@@ -1141,46 +1157,45 @@ def build_index(
         # enough — this replaces round-1's full groupBy(term) pre-pass over
         # every pair (a whole extra shuffle of the corpus-sized relation).
         # Exact df/cf now fall out of the encode output below (B5 unchanged).
-        frac = min(1.0, 1000.0 / max(hot_df_threshold, 1))
-        if fuse and frac < 1.0:
-            # fused path has no pairs cache to sample: tokenize a Bernoulli
-            # DOC sample instead (cluster sample of the same pair
-            # population — df_est stays unbiased, variance is fine for a
-            # performance-only salt plan, and the sample scan reads ~frac
-            # of the content bytes instead of re-streaming every pair)
-            sampled = docs.sample(fraction=frac, seed=42).select(
-                "doc_id", "content"
-            ).mapInArrow(
-                make_tokenize_pairs_kernel_arrow(mode, emit_doc_len=False),
-                "doc_id long, term string, tf int",
+        if fuse:
+            # packed path (round 6): salting is decided inside the pack
+            # kernel from per-batch local density (see
+            # make_tokenize_pack_kernel_arrow) — no driver pre-pass, no
+            # sample job.  The merge kernel reconciles arbitrary runs
+            # byte-identically, so per-batch disagreement is free.
+            hot_df = None
+            seg.metrics_append(
+                spark, index_dir,
+                [("salt_plan", 0, "in_kernel", 1.0)],
             )
         else:
+            frac = min(1.0, 1000.0 / max(hot_df_threshold, 1))
             sampled = pairs if frac >= 1.0 else pairs.sample(
                 fraction=frac, seed=42
             )
-        hot_rows = (
-            sampled.groupBy("term")
-            .agg((F.count("*") / F.lit(frac)).alias("df_est"))
-            .where(F.col("df_est") > hot_df_threshold)
-            .select(
-                "term",
-                F.least(
-                    F.lit(max_salts),
-                    F.ceil(F.col("df_est") / F.lit(hot_df_threshold)).cast(
-                        "int"
-                    ),
-                ).alias("n_salts"),
+            hot_rows = (
+                sampled.groupBy("term")
+                .agg((F.count("*") / F.lit(frac)).alias("df_est"))
+                .where(F.col("df_est") > hot_df_threshold)
+                .select(
+                    "term",
+                    F.least(
+                        F.lit(max_salts),
+                        F.ceil(
+                            F.col("df_est") / F.lit(hot_df_threshold)
+                        ).cast("int"),
+                    ).alias("n_salts"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        hot_df = spark.createDataFrame(
-            [(r["term"], r["n_salts"]) for r in hot_rows] or [("", 1)],
-            "term string, n_salts int",
-        )
-        seg.metrics_append(
-            spark, index_dir,
-            [("salt_plan", 0, "hot_terms", float(len(hot_rows)))],
-        )
+            hot_df = spark.createDataFrame(
+                [(r["term"], r["n_salts"]) for r in hot_rows] or [("", 1)],
+                "term string, n_salts int",
+            )
+            seg.metrics_append(
+                spark, index_dir,
+                [("salt_plan", 0, "hot_terms", float(len(hot_rows)))],
+            )
         t_cur = _tick("salt_plan", t_cur)
 
         # -- THE shuffle: cached pairs -> salted (shard, term_bucket, salt)
@@ -1194,7 +1209,7 @@ def build_index(
         # postings_write went 56s -> 105s at 1 executor.  Shuffling raw
         # pairs keeps the merge's zero-copy single-run fast path for
         # 99.9% of terms.)
-        salted = (
+        salted = None if fuse else (
             pairs.join(F.broadcast(hot_df), "term", "left")
             .withColumn("n_salts", F.coalesce("n_salts", F.lit(1)))
             .withColumn("shard", (F.col("doc_id") / shard_size).cast("int"))
@@ -1241,7 +1256,7 @@ def build_index(
             packed = docs.select("doc_id", "content").mapInArrow(
                 make_tokenize_pack_kernel_arrow(
                     mode, shard_size, term_buckets,
-                    {r["term"]: int(r["n_salts"]) for r in hot_rows},
+                    int(num_docs), hot_df_threshold, max_salts,
                 ),
                 _PACK_SCHEMA,
             )
