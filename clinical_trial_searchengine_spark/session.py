@@ -68,14 +68,20 @@ def get_spark(
             os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
         )
         .config("spark.ui.enabled", "false")
+    )
+    if master.startswith("local"):
         # zipimport-guarded daemon: workers fork from it already patched
         # (plain-RDD workers otherwise pay a full zip-TOC re-read per
-        # task on CPython 3.11 — see fastdaemon)
-        .config(
+        # task on CPython 3.11 — see fastdaemon).  local masters only:
+        # there the PYTHONPATH prepend above provably reaches the
+        # daemon.  Cluster deployments that ship this package to the
+        # executors (--py-files / pip) can set the same conf via
+        # extra_conf; package-kernel workers get the guard from the
+        # package __init__ either way.
+        builder = builder.config(
             "spark.python.daemon.module",
             "clinical_trial_searchengine_spark.fastdaemon",
         )
-    )
     if shuffle_partitions is not None:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
