@@ -923,7 +923,8 @@ def _scored_df(
     resolved = _KERNEL_ALIASES.get(kernel_name, kernel_name)
     one_task = resolved != "wand_ref" and n_cand <= _COALESCE_CAP
     return _apply_kernel(
-        handle, qtf, kernel, _RESULT_SCHEMA, one_task=one_task
+        handle, qtf, kernel, _RESULT_SCHEMA, one_task=one_task,
+        wide=resolved == "wand_ref",
     )
 
 
@@ -936,7 +937,7 @@ _COALESCE_CAP = 1 << 19
 
 def _apply_kernel(
     handle: IndexHandle, qtf: dict, kernel, schema, empty_fn=_empty_result,
-    one_task: bool = False,
+    one_task: bool = False, wide: bool = False,
 ) -> DataFrame:
     """Run a per-(gen, shard) kernel over the term-pruned postings scan —
     shared by scoring, batching and profiling.
@@ -964,15 +965,18 @@ def _apply_kernel(
         # buffers), so this exchange costs ~nothing, while keeping the
         # SCAN+filter parallel across the cached partitions.  Width 1 for
         # cache-light queries (one python-task round trip instead of a
-        # task per shard: the whole kernel pass is cheaper than the wave);
-        # 4x the group count for heavy queries so every shard kernel gets
-        # its own task (at 1x, hash collisions made ~25% of tasks run two
-        # kernels serially).  A coalesce(1) instead would serialize the
-        # scan itself (measured +20 ms) — the narrow dependency folds the
-        # filter into the single task.
-        w = 1 if one_task else (
-            4 * max(1, int(handle.meta["n_shards"])) * len(handle.bases)
-        )
+        # task per shard: the whole kernel pass is cheaper than the
+        # wave); the group count for heavy ones (hash collisions then
+        # occasionally co-locate two shard kernels, which is cheap when
+        # they are contribution-cache-served — width n beat 4n by ~15%
+        # on the cache-hot heavy suite); 4x the group count for ``wide``
+        # kernels (wand_ref, which decodes every time: a collision there
+        # serializes two 0.4 s kernels, so collision-freeness wins).
+        # A coalesce(1) instead would serialize the scan itself
+        # (measured +20 ms) — the narrow dependency folds the filter
+        # into the single task.
+        n_groups = max(1, int(handle.meta["n_shards"])) * len(handle.bases)
+        w = 1 if one_task else (4 * n_groups if wide else n_groups)
         postings = postings.repartition(w, "gen", "shard")
 
         def run_bcast(key, p_pdf):
